@@ -1,0 +1,244 @@
+"""Hyperparameter configuration for the TPU-native tacotron2-vae framework.
+
+Capability parity with the reference's ``create_hparams`` (reference:
+``hparams.py:3-126``), but implemented as an immutable dataclass instead of
+TF1 ``tf.contrib.training.HParams``.  The public surface is the same:
+
+    hp = create_hparams("batch_size=6,anneal_function='constant'")
+    hp.batch_size  # -> 6
+
+Differences (deliberate, documented):
+  * No import-time global config (the reference creates global hparams at
+    module import in ``CoordConv.py:6`` and ``text/__init__.py:7``).
+  * ``fp16_run`` is kept for API parity but on TPU the mixed-precision policy
+    is bf16, which needs no loss scaling (bf16 has fp32 exponent range); the
+    dynamic-loss-scaling knobs are accepted and inert unless fp16_run is set.
+  * TPU-specific knobs (mesh shape, compute dtype, bucketing) are additive.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import re
+from dataclasses import dataclass, field
+from typing import List, Tuple
+
+
+def _tuple(*xs):
+    return field(default_factory=lambda: list(xs))
+
+
+@dataclass(frozen=True)
+class HParams:
+    ################################
+    # Experiment Parameters        #
+    ################################
+    epochs: int = 300
+    iters_per_checkpoint: int = 500
+    seed: int = 1234
+    dynamic_loss_scaling: bool = True
+    fp16_run: bool = False
+    distributed_run: bool = False
+
+    # Kept for CLI compatibility; unused on TPU (jax.distributed handles
+    # rendezvous, XLA handles collectives). Reference: hparams.py:17-20.
+    dist_backend: str = "nccl"
+    dist_url: str = "tcp://localhost:54321"
+    cudnn_enabled: bool = True
+    cudnn_benchmark: bool = True
+
+    ################################
+    # Data Parameters              #
+    ################################
+    load_mel_from_disk: bool = False
+    training_files: str = "filelists/koemo_spk_emo_all_train.txt"
+    validation_files: str = "filelists/koemo_spk_emo_all_valid.txt"
+    text_cleaners: List[str] = _tuple("korean_cleaners")
+    sort_by_length: bool = False
+
+    ################################
+    # Audio Parameters             #
+    ################################
+    max_wav_value: float = 32768.0
+    sampling_rate: int = 16000
+    filter_length: int = 1024
+    hop_length: int = 256
+    win_length: int = 1024
+    n_mel_channels: int = 80
+    mel_fmin: float = 0.0
+    mel_fmax: float = 8000.0
+
+    ################################
+    # Model Parameters             #
+    ################################
+    n_symbols: int = 80  # 80 for korean_cleaners, 65 for english_cleaners
+    symbols_embedding_dim: int = 512
+
+    # Transcript encoder
+    encoder_kernel_size: int = 5
+    encoder_n_convolutions: int = 3
+    encoder_embedding_dim: int = 512
+
+    # Speaker embedding
+    n_speakers: int = 1
+    speaker_embedding_dim: int = 16
+
+    # Emotion
+    n_emotions: int = 4
+    emotion_embedding_dim: int = 16
+
+    # Reference encoder (VAE-GST)
+    E: int = 512
+    ref_enc_filters: List[int] = _tuple(32, 32, 64, 64, 128, 128)
+    ref_enc_size: List[int] = _tuple(3, 3)
+    ref_enc_strides: List[int] = _tuple(2, 2)
+    ref_enc_pad: List[int] = _tuple(1, 1)
+    ref_enc_gru_size: int = 512 // 2
+
+    z_latent_dim: int = 32
+    anneal_function: str = "logistic"
+    anneal_k: float = 0.0025
+    anneal_x0: int = 10000
+    anneal_upper: float = 0.2
+    anneal_lag: int = 50000
+
+    # Prosody embedding (kept for config-surface parity; the reference
+    # defines these but derives the actual conv stack from ref_enc_filters)
+    prosody_n_convolutions: int = 6
+    prosody_conv_dim_in: List[int] = _tuple(1, 32, 32, 64, 64, 128)
+    prosody_conv_dim_out: List[int] = _tuple(32, 32, 64, 64, 128, 128)
+    prosody_conv_kernel: int = 3
+    prosody_conv_stride: int = 2
+    prosody_embedding_dim: int = 128
+
+    # Decoder
+    n_frames_per_step: int = 1
+    decoder_rnn_dim: int = 1024
+    prenet_dim: int = 256
+    max_decoder_steps: int = 1000
+    gate_threshold: float = 0.5
+    p_attention_dropout: float = 0.1
+    p_decoder_dropout: float = 0.1
+
+    # Attention
+    attention_rnn_dim: int = 1024
+    attention_dim: int = 128
+
+    # Location layer
+    attention_location_n_filters: int = 32
+    attention_location_kernel_size: int = 31
+
+    # Postnet
+    postnet_embedding_dim: int = 512
+    postnet_kernel_size: int = 5
+    postnet_n_convolutions: int = 5
+
+    ################################
+    # Optimization Hyperparameters #
+    ################################
+    use_saved_learning_rate: bool = False
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-6
+    grad_clip_thresh: float = 1.0
+    batch_size: int = 64
+    mask_padding: bool = True
+
+    ################################
+    # TPU-native additions         #
+    ################################
+    # Computation dtype for matmuls/convs; params stay fp32.
+    compute_dtype: str = "bfloat16"
+    # Device mesh axes: (data, model). Product must divide len(jax.devices()).
+    mesh_data: int = -1  # -1 => all devices on the data axis
+    mesh_model: int = 1
+    # Static-shape bucketing for XLA: pad text/mel lengths up to multiples.
+    text_bucket_size: int = 32
+    mel_bucket_size: int = 64
+    # Dropout inside the decoder scan.
+    symbol_type: int = 1  # Korean jamo symbol inventory variant (1..4)
+
+    # ------------------------------------------------------------------
+
+    def parse(self, hparams_string: str) -> "HParams":
+        """Parse ``name=value,name=value`` overrides (TF1-HParams style)."""
+        if not hparams_string:
+            return self
+        updates = {}
+        for key, raw in _split_overrides(hparams_string):
+            if not hasattr(self, key):
+                raise ValueError(f"Unknown hparam: {key!r}")
+            current = getattr(self, key)
+            updates[key] = _coerce(raw, current)
+        return dataclasses.replace(self, **updates)
+
+    def values(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def replace(self, **kw) -> "HParams":
+        return dataclasses.replace(self, **kw)
+
+
+_PAIR_RE = re.compile(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s*=")
+
+
+def _split_overrides(s: str):
+    """Split 'a=1,b=[2,3],c="x,y"' on top-level commas only."""
+    pairs = []
+    i, n = 0, len(s)
+    while i < n:
+        m = _PAIR_RE.match(s, i)
+        if not m:
+            raise ValueError(f"Malformed hparams string at: {s[i:]!r}")
+        key = m.group(1)
+        j = m.end()
+        depth = 0
+        in_str = None
+        start = j
+        while j < n:
+            ch = s[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in "\"'":
+                in_str = ch
+            elif ch in "[(":
+                depth += 1
+            elif ch in "])":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                break
+            j += 1
+        pairs.append((key, s[start:j].strip()))
+        i = j + 1
+    return pairs
+
+
+def _coerce(raw: str, current):
+    """Coerce a raw string to the type of the current value."""
+    if isinstance(current, bool):
+        if raw.lower() in ("true", "1"):
+            return True
+        if raw.lower() in ("false", "0"):
+            return False
+        raise ValueError(f"Cannot parse bool from {raw!r}")
+    try:
+        val = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        val = raw  # bare string
+    if isinstance(current, float) and isinstance(val, int):
+        val = float(val)
+    return val
+
+
+def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> HParams:
+    """Create model hyperparameters, parsing non-default overrides from a string.
+
+    Mirrors the reference API (``hparams.py:3-126``).
+    """
+    hp = HParams()
+    if hparams_string:
+        hp = hp.parse(hparams_string)
+    if verbose:
+        print(f"Final parsed hparams: {hp.values()}")
+    return hp

@@ -1,0 +1,80 @@
+"""Text cleaners (reference ``text/cleaners.py``).
+
+``korean_cleaners`` is the primary path; English cleaners are provided for
+the IEMOCAP filelists.  ASCII transliteration uses unicodedata NFKD folding
+instead of the `unidecode` dependency.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+from .numbers_en import normalize_numbers
+from .korean import tokenize as ko_tokenize
+
+_whitespace_re = re.compile(r"\s+")
+
+_abbreviations = [
+    (re.compile(r"\b%s\." % abbr, re.IGNORECASE), full)
+    for abbr, full in [
+        ("mrs", "misess"), ("mr", "mister"), ("dr", "doctor"), ("st", "saint"),
+        ("co", "company"), ("jr", "junior"), ("maj", "major"),
+        ("gen", "general"), ("drs", "doctors"), ("rev", "reverend"),
+        ("lt", "lieutenant"), ("hon", "honorable"), ("sgt", "sergeant"),
+        ("capt", "captain"), ("esq", "esquire"), ("ltd", "limited"),
+        ("col", "colonel"), ("ft", "fort"),
+    ]
+]
+
+
+def expand_abbreviations(text: str) -> str:
+    for regex, replacement in _abbreviations:
+        text = regex.sub(replacement, text)
+    return text
+
+
+def expand_numbers(text: str) -> str:
+    return normalize_numbers(text)
+
+
+def lowercase(text: str) -> str:
+    return text.lower()
+
+
+def collapse_whitespace(text: str) -> str:
+    return _whitespace_re.sub(" ", text)
+
+
+def convert_to_ascii(text: str) -> str:
+    """Accent-fold to ASCII via NFKD decomposition (unidecode-lite)."""
+    return (
+        unicodedata.normalize("NFKD", text)
+        .encode("ascii", "ignore")
+        .decode("ascii")
+    )
+
+
+def basic_cleaners(text: str) -> str:
+    """Lowercase + collapse whitespace, no transliteration."""
+    return collapse_whitespace(lowercase(text))
+
+
+def transliteration_cleaners(text: str) -> str:
+    """ASCII transliteration for non-English text."""
+    return collapse_whitespace(lowercase(convert_to_ascii(text)))
+
+
+def english_cleaners(text: str) -> str:
+    """English pipeline: ascii, lowercase, numbers, abbreviations."""
+    text = convert_to_ascii(text)
+    text = lowercase(text)
+    text = expand_numbers(text)
+    text = expand_abbreviations(text)
+    text = collapse_whitespace(text)
+    return text
+
+
+def korean_cleaners(text: str):
+    """Korean pipeline: normalization + jamo decomposition (returns tokens)."""
+    return ko_tokenize(text, as_id=False)
