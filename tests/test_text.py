@@ -101,7 +101,7 @@ def test_normalize_numbers_en():
     assert normalize_numbers("2005") == "two thousand five"
     assert normalize_numbers("1987") == "nineteen eighty-seven"
     assert normalize_numbers("1900") == "nineteen hundred"
-    assert normalize_numbers("3.14") == "three point one four"
+    assert normalize_numbers("3.14") == "three point fourteen"
 
 
 def test_zero_and_units():
