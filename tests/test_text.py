@@ -105,7 +105,10 @@ def test_normalize_numbers_en():
 
 
 def test_zero_and_units():
-    assert normalize("0%는") == "영는"  # reference drops unit on zero
+    # '%' is dictionary-replaced to 퍼센트 before number expansion; zero keeps
+    # no *count* unit but literal unit text survives.
+    assert normalize("0%는") == "영퍼센트는"
+    assert normalize("0마리") == "영"  # reference drops count unit on zero
     assert normalize("3km를 더") == "삼킬로미터를 더"
 
 
