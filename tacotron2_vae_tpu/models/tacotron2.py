@@ -1,0 +1,169 @@
+"""Tacotron2-VAE top-level model (pure-functional JAX).
+
+Parity target: reference ``Tacotron2`` (model.py:467-547).  Composition:
+symbol embedding -> transcript encoder -> (+ broadcast VAE-GST prosody
+embedding) -> attention decoder -> postnet residual, with output masking
+identical to reference ``parse_output`` (model.py:509-520).
+
+Params/state are nested dicts; all forward fns are jit-able with static
+shapes.  ``speaker_embedding``/``emotion_embedding`` are initialized for
+checkpoint parity but, exactly like the reference (model.py:476-479), never
+used in the forward pass — emotion one-hots pass through for logging.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import embedding, embedding_init, linear, linear_init
+from . import decoder as decoder_mod
+from . import encoder as encoder_mod
+from . import postnet as postnet_mod
+from . import vae_gst as vae_mod
+
+
+class Tacotron2Output(NamedTuple):
+    """Reference output list order (model.py:546)."""
+
+    mel_outputs: jnp.ndarray          # (B, n_mel, T)
+    mel_outputs_postnet: jnp.ndarray  # (B, n_mel, T)
+    gate_outputs: jnp.ndarray         # (B, T)
+    alignments: jnp.ndarray           # (B, T, S)
+    mu: jnp.ndarray                   # (B, z)
+    logvar: jnp.ndarray               # (B, z)
+    z: jnp.ndarray                    # (B, z)
+    emotions: jnp.ndarray             # pass-through one-hots
+
+
+def init(key, hp) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    k_emb, k_spk, k_emo, k_enc, k_dec, k_post, k_vae = jax.random.split(key, 7)
+    enc_p, enc_s = encoder_mod.init(k_enc, hp)
+    post_p, post_s = postnet_mod.init(k_post, hp)
+    vae_p, vae_s = vae_mod.init(k_vae, hp)
+    params = {
+        "embedding": embedding_init(k_emb, hp.n_symbols, hp.symbols_embedding_dim),
+        "speaker_embedding": linear_init(
+            k_spk, hp.n_speakers, hp.speaker_embedding_dim, w_init_gain="tanh"
+        ),
+        "emotion_embedding": linear_init(
+            k_emo, hp.n_emotions, hp.emotion_embedding_dim, w_init_gain="tanh"
+        ),
+        "encoder": enc_p,
+        "decoder": decoder_mod.init(k_dec, hp),
+        "postnet": post_p,
+        "vae_gst": vae_p,
+    }
+    state = {"encoder": enc_s, "postnet": post_s, "vae_gst": vae_s}
+    return params, state
+
+
+def _mask_outputs(mel, mel_postnet, gate, output_lengths, n_mel):
+    """Zero padded mel frames; set padded gate energies to 1e3
+    (reference parse_output, model.py:509-520)."""
+    if output_lengths is None:
+        return mel, mel_postnet, gate
+    T = mel.shape[2]
+    valid = jnp.arange(T)[None, :] < output_lengths[:, None]  # (B, T)
+    mel = jnp.where(valid[:, None, :], mel, 0.0)
+    mel_postnet = jnp.where(valid[:, None, :], mel_postnet, 0.0)
+    gate = jnp.where(valid, gate, 1e3)
+    return mel, mel_postnet, gate
+
+
+def forward(
+    params,
+    state,
+    batch: Dict[str, jnp.ndarray],
+    hp,
+    *,
+    train: bool,
+    rng,
+) -> Tuple[Tacotron2Output, Dict[str, Any]]:
+    """Teacher-forced forward (reference model.py:522-547).
+
+    batch keys: text (B, S) int32, input_lengths (B,), mel (B, n_mel, T),
+    output_lengths (B,), speakers, emotions.
+    """
+    dtype = jnp.dtype(hp.compute_dtype) if hp.compute_dtype != "float32" else None
+    r_enc, r_vae, r_dec, r_post = jax.random.split(rng, 4)
+
+    embedded = embedding(params["embedding"], batch["text"])  # (B, S, D)
+    transcript, enc_state = encoder_mod.apply(
+        params["encoder"], state["encoder"], embedded,
+        batch["input_lengths"], train=train, rng=r_enc, dtype=dtype,
+    )
+
+    (prosody, mu, logvar, z), vae_state = vae_mod.apply(
+        params["vae_gst"], state["vae_gst"], batch["mel"],
+        train=train, rng=r_vae, dtype=dtype,
+    )
+    memory = transcript + prosody[:, None, :]  # broadcast add (model.py:535-537)
+
+    mel_outputs, gate_outputs, alignments = decoder_mod.teacher_forced(
+        params["decoder"], memory, batch["mel"], batch["input_lengths"], hp,
+        train=train, rng=r_dec, dtype=dtype,
+        prenet_dropout_enabled=True,
+    )
+
+    residual, post_state = postnet_mod.apply(
+        params["postnet"], state["postnet"], mel_outputs,
+        train=train, rng=r_post, dtype=dtype,
+    )
+    mel_outputs_postnet = mel_outputs + residual
+
+    if hp.mask_padding:
+        mel_outputs, mel_outputs_postnet, gate_outputs = _mask_outputs(
+            mel_outputs, mel_outputs_postnet, gate_outputs,
+            batch.get("output_lengths"), hp.n_mel_channels,
+        )
+
+    out = Tacotron2Output(
+        mel_outputs, mel_outputs_postnet, gate_outputs, alignments,
+        mu, logvar, z, batch.get("emotions", jnp.zeros((embedded.shape[0], 0))),
+    )
+    new_state = {"encoder": enc_state, "postnet": post_state, "vae_gst": vae_state}
+    return out, new_state
+
+
+def infer(
+    params,
+    state,
+    text: jnp.ndarray,
+    style_embed: jnp.ndarray,
+    hp,
+    *,
+    rng,
+    max_steps: int | None = None,
+    prenet_dropout_enabled: bool = True,
+):
+    """Autoregressive synthesis from token ids + a style embedding.
+
+    Mirrors the reference serving path (synthesizer.py:112-159): encoder
+    inference (no length masking), style broadcast-add, decoder loop, postnet.
+    Returns (mel, mel_postnet, gate, alignments, lengths).
+    """
+    dtype = jnp.dtype(hp.compute_dtype) if hp.compute_dtype != "float32" else None
+    r_enc, r_dec, r_post = jax.random.split(rng, 3)
+
+    embedded = embedding(params["embedding"], text)
+    transcript, _ = encoder_mod.apply(
+        params["encoder"], state["encoder"], embedded, None,
+        train=False, rng=r_enc, dtype=dtype,
+    )
+    if style_embed.ndim == 1:
+        style_embed = style_embed[None]
+    memory = transcript + style_embed[:, None, :]
+
+    mel, gate, align, lengths = decoder_mod.infer(
+        params["decoder"], memory, hp, rng=r_dec,
+        max_steps=max_steps, dtype=dtype,
+        prenet_dropout_enabled=prenet_dropout_enabled,
+    )
+    residual, _ = postnet_mod.apply(
+        params["postnet"], state["postnet"], mel, train=False, rng=r_post,
+        dtype=dtype,
+    )
+    return mel, mel + residual, gate, align, lengths

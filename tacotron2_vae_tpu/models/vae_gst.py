@@ -1,0 +1,115 @@
+"""VAE-GST style encoder: CoordConv reference encoder + GRU + VAE heads.
+
+Parity targets: reference ``VAE_GST`` (modules.py:8-31), ``ReferenceEncoder``
+(modules.py:34-85), ``AddCoords``/``CoordConv2d`` rank-2 with_r=True
+(CoordConv.py:8-74,108-135).
+
+The CoordConv's coordinate planes are just broadcast iotas concatenated as
+channels — computed inline, no special layer needed on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import (
+    batchnorm,
+    batchnorm_init,
+    conv2d,
+    conv2d_init,
+    linear,
+    torch_linear_init,
+)
+from ..ops.rnn import gru_init, gru_scan
+
+
+def _conv_out_len(L: int, n_convs: int, kernel=3, stride=2, pad=1) -> int:
+    for _ in range(n_convs):
+        L = (L - kernel + 2 * pad) // stride + 1
+    return L
+
+
+def init(key, hp):
+    K = len(hp.ref_enc_filters)
+    filters = [1] + list(hp.ref_enc_filters)
+    keys = jax.random.split(key, K + 4)
+
+    convs, bns, bn_state = [], [], []
+    for i in range(K):
+        in_ch = filters[i]
+        if i == 0:
+            in_ch += 3  # CoordConv with_r: +x, +y, +r channels
+        convs.append(conv2d_init(keys[i], in_ch, filters[i + 1], (3, 3)))
+        bn_p, bn_s = batchnorm_init(filters[i + 1])
+        bns.append(bn_p)
+        bn_state.append(bn_s)
+
+    out_freq = _conv_out_len(hp.n_mel_channels, K)
+    gru = gru_init(keys[K], hp.ref_enc_filters[-1] * out_freq, hp.E // 2)
+
+    fc1 = torch_linear_init(keys[K + 1], hp.ref_enc_gru_size, hp.z_latent_dim)
+    fc2 = torch_linear_init(keys[K + 2], hp.ref_enc_gru_size, hp.z_latent_dim)
+    fc3 = torch_linear_init(keys[K + 3], hp.z_latent_dim, hp.E)
+    params = {"convs": convs, "bns": bns, "gru": gru,
+              "fc1": fc1, "fc2": fc2, "fc3": fc3}
+    return params, {"bns": bn_state}
+
+
+def add_coords_2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Append normalized row/col/radius channels (NHWC).
+
+    Matches reference AddCoords rank-2 with_r=True (CoordConv.py:37-74):
+    row index scaled by H-1 to [-1,1], col index by W-1, radius about the
+    post-scaling 0.5 point.
+    """
+    B, H, W, _ = x.shape
+    rows = jax.lax.broadcasted_iota(jnp.float32, (B, H, W, 1), 1)
+    cols = jax.lax.broadcasted_iota(jnp.float32, (B, H, W, 1), 2)
+    rows = rows / jnp.maximum(H - 1, 1) * 2.0 - 1.0
+    cols = cols / jnp.maximum(W - 1, 1) * 2.0 - 1.0
+    r = jnp.sqrt((rows - 0.5) ** 2 + (cols - 0.5) ** 2)
+    return jnp.concatenate([x, rows, cols, r], axis=-1)
+
+
+def reference_encoder(params, state, mel, *, train: bool, dtype=None):
+    """mel: (B, n_mels, T) -> (B, E//2) prosody summary.
+
+    Reference modules.py:65-80: view as (B,1,T,n_mels) image, 6 stride-2
+    convs (first CoordConv), BN+ReLU, flatten freq x channel, GRU, final state.
+    """
+    x = jnp.swapaxes(mel, 1, 2)[..., None]  # (B, T, n_mels, 1) NHWC
+    new_bns = []
+    for i, (cp, bp) in enumerate(zip(params["convs"], params["bns"])):
+        if i == 0:
+            x = add_coords_2d(x)
+        x = conv2d(cp, x, stride=(2, 2), padding=((1, 1), (1, 1)), dtype=dtype)
+        x, bn_s = batchnorm(bp, state["bns"][i], x, train)
+        x = jax.nn.relu(x)
+        new_bns.append(bn_s)
+    B, T, F, C = x.shape
+    # Match reference flattening order: NCHW out is transposed to
+    # [N, T, C, F'] before the view (modules.py:73-76), i.e. channel-major.
+    x = jnp.swapaxes(x, 2, 3).reshape(B, T, C * F)
+    _, h_final = gru_scan(params["gru"], x, dtype=dtype)
+    return h_final, {"bns": new_bns}
+
+
+def apply(params, state, mel, *, train: bool, rng=None, dtype=None):
+    """VAE forward: mel (B, n_mels, T) -> (style_embed, mu, logvar, z), state.
+
+    Training samples z = mu + eps*std; eval returns mu (modules.py:16-22).
+    """
+    enc, new_state = reference_encoder(params, state, mel, train=train, dtype=dtype)
+    mu = linear(params["fc1"], enc)
+    logvar = linear(params["fc2"], enc)
+    if train:
+        if rng is None:
+            raise ValueError("rng required for VAE sampling in training")
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.random.normal(rng, std.shape, std.dtype)
+        z = mu + eps * std
+    else:
+        z = mu
+    style_embed = linear(params["fc3"], z)
+    return (style_embed, mu, logvar, z), new_state

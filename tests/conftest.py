@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The environment's site config pins jax_platforms to the TPU plugin and
+# ignores the env var — override through the config API before any use.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
