@@ -1,0 +1,10 @@
+"""Multi-chip parallelism: device mesh, shardings, parallel train step."""
+
+from .mesh import (  # noqa: F401
+    batch_shardings,
+    make_mesh,
+    make_parallel_train_step,
+    param_shardings,
+    shard_batch,
+    shard_train_state,
+)

@@ -1,0 +1,163 @@
+"""Device mesh + GSPMD sharding for multi-chip training.
+
+Replaces the reference's hand-rolled gradient-allreduce DDP + NCCL + one
+process per GPU (distributed.py, multiproc.py, train.py:38-50) with
+single-controller JAX: a 2-D ``Mesh`` with axes ``('data', 'model')``, batch
+sharded over `data`, large weight matrices sharded over `model`, and XLA
+GSPMD inserting the ICI collectives (grad all-reduce falls out of the jit'd
+loss — no backward hooks, no buckets, no rendezvous).
+
+BatchNorm statistics are computed over the *global* batch (XLA inserts the
+cross-replica reduction), which is strictly better than the reference DDP's
+per-replica stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(hp=None, devices=None, data: int | None = None,
+              model: int | None = None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 (default) => all devices on data."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if hp is not None:
+        data = hp.mesh_data if data is None else data
+        model = hp.mesh_model if model is None else model
+    model = model or 1
+    data = n // model if (data is None or data == -1) else data
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+# --- Sharding rules ---------------------------------------------------------------
+
+_REPLICATED = P()
+
+
+def _param_spec(path: str, leaf) -> P:
+    """Tensor-parallel layout for the big weight matrices.
+
+    Channel dims of the wide feed-forward layers shard over `model`; the
+    recurrent cells stay replicated (per-step ICI latency would dominate a
+    1024-wide LSTM).  Everything falls back to replicated.
+    """
+    if leaf.ndim < 2:
+        return _REPLICATED
+    if "embedding/table" in path:
+        return P(None, "model")  # (vocab, 512)
+    if "/encoder/convs" in path or "/postnet/convs" in path:
+        return P(None, None, "model")  # (k, in, out): shard out channels
+    if "/vae_gst/convs" in path:
+        return P(None, None, None, "model")  # (h, w, in, out)
+    if path.endswith("/proj/w") or path.endswith("/gate/w"):
+        return P("model", None)  # (1536, out): shard the contraction dim
+    if "/prenet" in path and path.endswith("/w"):
+        return P(None, "model")
+    if "/attention/memory/w" in path or "/attention/query/w" in path:
+        return P(None, "model")  # attention_dim is tiny but shards cleanly
+    return _REPLICATED
+
+
+def _tree_paths(tree, path=""):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _tree_paths(v, path + "/" + k)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _tree_paths(v, f"{path}[{i}]")
+    else:
+        yield path, tree
+
+
+def param_shardings(params, mesh: Mesh):
+    """Params pytree -> NamedSharding pytree (tp over the 'model' axis)."""
+    flat = dict(_tree_paths(params))
+
+    def build(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: build(v, path + "/" + k) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [build(v, f"{path}[{i}]") for i, v in enumerate(tree)]
+        return NamedSharding(mesh, _param_spec(path, tree))
+
+    return build(params)
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, _REPLICATED), tree
+    )
+
+
+def batch_shardings(batch_like, mesh: Mesh):
+    """Shard the leading batch dim of every array over the 'data' axis."""
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("data")), batch_like
+    )
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch onto the mesh, batch dim split over 'data'."""
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, P("data")))
+        for k, v in batch.items()
+    }
+
+
+def shard_train_state(ts, mesh: Mesh):
+    """Place a TrainState: tp-sharded params, replicated everything else."""
+    from ..training.train_state import TrainState
+
+    p_shard = param_shardings(ts.params, mesh)
+    params = jax.tree_util.tree_map(jax.device_put, ts.params, p_shard)
+    # Adam moments mirror the param pytree inside ScaleByAdamState: shard any
+    # leaf whose shape matches a param leaf the same way; replicate the rest.
+    by_shape = {}
+    for path, leaf in _tree_paths(ts.params):
+        by_shape.setdefault(getattr(leaf, "shape", ()), []).append(
+            _param_spec(path, leaf)
+        )
+
+    def place(x):
+        shape = getattr(x, "shape", ())
+        specs = by_shape.get(shape)
+        spec = specs[0] if specs and all(s == specs[0] for s in specs) else _REPLICATED
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    opt_state = jax.tree_util.tree_map(place, ts.opt_state)
+    model_state = jax.device_put(
+        ts.model_state, NamedSharding(mesh, _REPLICATED)
+    )
+    step = jax.device_put(ts.step, NamedSharding(mesh, _REPLICATED))
+    return TrainState(step, params, model_state, opt_state)
+
+
+def make_parallel_train_step(hp, mesh: Mesh, learning_rate=None):
+    """jit'd multi-chip train step: dp over 'data', tp over 'model'.
+
+    The returned function takes (TrainState, batch-dict, rng) exactly like
+    the single-chip step; XLA/GSPMD handles all collectives.
+    """
+    from ..training.train_state import make_train_step
+
+    step_fn = make_train_step(hp, learning_rate)
+
+    def wrapped(ts, batch, rng):
+        batch = {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P("data"))
+            )
+            for k, v in batch.items()
+        }
+        return step_fn(ts, batch, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0,))

@@ -1,0 +1,149 @@
+"""Training-step tests: loss decreases when overfitting one batch; the
+multi-chip (8 virtual CPU devices) path compiles and matches semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_vae_tpu.config import create_hparams
+from tacotron2_vae_tpu.training.train_state import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+
+TINY = (
+    "batch_size=2,symbols_embedding_dim=32,encoder_embedding_dim=32,"
+    "attention_rnn_dim=32,decoder_rnn_dim=32,prenet_dim=16,attention_dim=16,"
+    "postnet_embedding_dim=32,E=32,ref_enc_gru_size=16,z_latent_dim=4,"
+    "ref_enc_filters=[2,2,4,4,8,8],attention_location_n_filters=4,"
+    "encoder_n_convolutions=2,postnet_n_convolutions=3,"
+    "compute_dtype='float32',anneal_function='constant'"
+)
+
+
+def _batch(hp, B=2, S=12, T=24, seed=0):
+    rng = np.random.RandomState(seed)
+    text = rng.randint(2, hp.n_symbols, size=(B, S)).astype(np.int32)
+    mel = (rng.randn(B, hp.n_mel_channels, T) * 0.1).astype(np.float32)
+    gate = np.zeros((B, T), np.float32)
+    gate[:, -1] = 1.0
+    return {
+        "text": jnp.asarray(text),
+        "input_lengths": jnp.full((B,), S, jnp.int32),
+        "mel": jnp.asarray(mel),
+        "gate": jnp.asarray(gate),
+        "output_lengths": jnp.full((B,), T, jnp.int32),
+        "emotions": jnp.asarray(
+            np.eye(hp.n_emotions, dtype=np.float32)[
+                rng.randint(0, hp.n_emotions, size=B)
+            ]
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def hp():
+    return create_hparams(TINY)
+
+
+def test_overfit_single_batch(hp):
+    ts = create_train_state(jax.random.PRNGKey(0), hp)
+    step = jax.jit(make_train_step(hp))
+    batch = _batch(hp)
+    losses = []
+    for i in range(80):
+        ts, metrics = step(ts, batch, jax.random.PRNGKey(1000 + i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # stochastic (prenet dropout, VAE sampling) but must clearly descend
+    assert np.mean(losses[-5:]) < 0.65 * np.mean(losses[:5])
+
+
+def test_metrics_contents(hp):
+    ts = create_train_state(jax.random.PRNGKey(0), hp)
+    step = jax.jit(make_train_step(hp))
+    ts, metrics = step(ts, _batch(hp), jax.random.PRNGKey(0))
+    for k in ("loss", "grad_norm", "recon_loss", "kl_loss", "kl_weight"):
+        assert k in metrics and np.isfinite(float(metrics[k])), k
+    assert int(ts.step) == 1
+
+
+def test_eval_step(hp):
+    ts = create_train_state(jax.random.PRNGKey(0), hp)
+    eval_step = jax.jit(make_eval_step(hp))
+    total, aux, out = eval_step(ts, _batch(hp), jax.random.PRNGKey(0))
+    assert np.isfinite(float(total))
+    assert out.mel_outputs.shape[1] == hp.n_mel_channels
+
+
+def test_batchnorm_stats_update(hp):
+    ts = create_train_state(jax.random.PRNGKey(0), hp)
+    step = jax.jit(make_train_step(hp))
+    before = np.asarray(ts.model_state["encoder"]["bns"][0]["mean"]).copy()
+    ts, _ = step(ts, _batch(hp), jax.random.PRNGKey(0))
+    after = np.asarray(ts.model_state["encoder"]["bns"][0]["mean"])
+    assert not np.allclose(before, after)
+
+
+def test_nan_guard_skips_update(hp):
+    ts = create_train_state(jax.random.PRNGKey(0), hp)
+    step = jax.jit(make_train_step(hp))
+    batch = _batch(hp)
+    bad = dict(batch)
+    bad["mel"] = batch["mel"].at[0, 0, 0].set(jnp.nan)
+    p_before = np.asarray(ts.params["embedding"]["table"]).copy()
+    ts2, metrics = step(ts, bad, jax.random.PRNGKey(0))
+    assert not np.isfinite(float(metrics["loss"]))
+    np.testing.assert_array_equal(
+        np.asarray(ts2.params["embedding"]["table"]), p_before
+    )
+
+
+class TestParallel:
+    def test_8dev_mesh_train_step(self, hp):
+        from tacotron2_vae_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_batch,
+            shard_train_state,
+        )
+
+        assert len(jax.devices()) == 8
+        mesh = make_mesh(data=4, model=2)
+        ts = create_train_state(jax.random.PRNGKey(0), hp)
+        ts = shard_train_state(ts, mesh)
+        pstep = make_parallel_train_step(hp, mesh)
+        batch = shard_batch(_batch(hp, B=4), mesh)
+        ts, metrics = pstep(ts, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(ts.step) == 1
+
+    def test_parallel_matches_single_chip(self, hp):
+        """dp=8 must produce the same loss/grads as single-device (global BN,
+        global loss — the sharding is an implementation detail)."""
+        from tacotron2_vae_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_batch,
+            shard_train_state,
+        )
+
+        batch = _batch(hp, B=8)
+        rng = jax.random.PRNGKey(7)
+
+        ts1 = create_train_state(jax.random.PRNGKey(0), hp)
+        step1 = jax.jit(make_train_step(hp))
+        ts1, m1 = step1(ts1, batch, rng)
+
+        mesh = make_mesh(data=8, model=1)
+        ts2 = create_train_state(jax.random.PRNGKey(0), hp)
+        ts2 = shard_train_state(ts2, mesh)
+        step2 = make_parallel_train_step(hp, mesh)
+        ts2, m2 = step2(ts2, shard_batch(batch, mesh), rng)
+
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+        a = np.asarray(ts1.params["decoder"]["proj"]["w"])
+        b = np.asarray(ts2.params["decoder"]["proj"]["w"])
+        np.testing.assert_allclose(a, b, atol=1e-4)  # reduction-order noise
