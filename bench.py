@@ -1,0 +1,114 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.json): teacher-forced mel frames/sec/chip on the full-size
+Tacotron2-VAE model.  Extra context fields (inference RTF, step latency) ride
+in the same JSON object.  The reference publishes no numbers (BASELINE.md),
+so vs_baseline is null.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from tacotron2_vae_tpu.config import create_hparams
+    from tacotron2_vae_tpu.models import tacotron2
+    from tacotron2_vae_tpu.training.train_state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    # Flagship config, reference-recommended batch size (README.md:53).
+    B, S, T = 6, 128, 512
+    hp = create_hparams("batch_size=6")
+    rng = np.random.RandomState(0)
+    batch = {
+        "text": rng.randint(2, hp.n_symbols, size=(B, S)).astype(np.int32),
+        "input_lengths": np.full((B,), S, np.int32),
+        "mel": (rng.randn(B, hp.n_mel_channels, T) * 0.3).astype(np.float32),
+        "gate": np.pad(
+            np.zeros((B, T - 1), np.float32), ((0, 0), (0, 1)),
+            constant_values=1.0,
+        ),
+        "output_lengths": np.full((B,), T, np.int32),
+        "emotions": np.eye(hp.n_emotions, dtype=np.float32)[
+            rng.randint(0, hp.n_emotions, size=B)
+        ],
+    }
+    batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
+
+    ts = create_train_state(jax.random.PRNGKey(0), hp)
+    # NOTE: no donate_argnums and no block_until_ready — both misbehave
+    # through the axon remote-TPU tunnel (block_until_ready returns before
+    # execution finishes).  A 4-byte scalar fetch is the only reliable sync.
+    step = jax.jit(make_train_step(hp))
+
+    # Warmup / compile (fetch forces completion).
+    ts, metrics = step(ts, batch, jax.random.PRNGKey(0))
+    float(metrics["loss"])
+    for i in range(3):
+        ts, metrics = step(ts, batch, jax.random.PRNGKey(i))
+    float(metrics["loss"])
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        ts, metrics = step(ts, batch, jax.random.PRNGKey(i))
+    float(metrics["loss"])  # sync
+    dt = (time.perf_counter() - t0) / n_iters
+    frames_per_sec = B * T / dt
+
+    # Secondary: autoregressive inference RTF (mel frames vs realtime audio).
+    params, state = ts.params, ts.model_state
+    text = jax.numpy.asarray(
+        rng.randint(2, hp.n_symbols, size=(1, 64)).astype(np.int32)
+    )
+    style = jax.numpy.zeros((1, hp.E))
+
+    def synth(params, state, text, style, rng):
+        # gate_threshold > 1 can never fire: forces the full 600 decoder
+        # steps so the RTF is an upper bound (a trained gate stops earlier).
+        return tacotron2.infer(
+            params, state, text, style, hp, rng=rng, max_steps=600,
+            gate_threshold=1.1, prenet_dropout_enabled=True,
+        )
+
+    synth_j = jax.jit(synth)
+    out = synth_j(params, state, text, style, jax.random.PRNGKey(0))
+    float(out[4][0])  # sync on the lengths output
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        out = synth_j(params, state, text, style, jax.random.PRNGKey(i))
+        float(out[4][0])
+    synth_dt = (time.perf_counter() - t0) / reps
+    n_frames = 600  # buffer length (upper bound on generated frames)
+    audio_secs = n_frames * hp.hop_length / hp.sampling_rate  # 9.6 s
+    rtf = synth_dt / audio_secs
+
+    print(
+        json.dumps(
+            {
+                "metric": "mel_frames_per_sec_per_chip",
+                "value": round(frames_per_sec, 1),
+                "unit": "frames/s",
+                "vs_baseline": None,
+                "train_step_ms": round(dt * 1e3, 2),
+                "batch": B,
+                "mel_frames": T,
+                "inference_rtf_600_frames": round(rtf, 4),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

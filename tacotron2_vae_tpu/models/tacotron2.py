@@ -137,6 +137,7 @@ def infer(
     *,
     rng,
     max_steps: int | None = None,
+    gate_threshold: float | None = None,
     prenet_dropout_enabled: bool = True,
 ):
     """Autoregressive synthesis from token ids + a style embedding.
@@ -159,7 +160,7 @@ def infer(
 
     mel, gate, align, lengths = decoder_mod.infer(
         params["decoder"], memory, hp, rng=r_dec,
-        max_steps=max_steps, dtype=dtype,
+        max_steps=max_steps, gate_threshold=gate_threshold, dtype=dtype,
         prenet_dropout_enabled=prenet_dropout_enabled,
     )
     residual, _ = postnet_mod.apply(

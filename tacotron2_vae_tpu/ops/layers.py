@@ -87,7 +87,13 @@ def conv1d_init(key, in_ch, out_ch, kernel_size, bias=True, w_init_gain="linear"
 
 
 def conv1d(p, x, stride=1, padding="SAME", dtype=None):
-    """x: (B, T, C_in) -> (B, T', C_out)."""
+    """x: (B, T, C_in) -> (B, T', C_out).
+
+    Note: no preferred_element_type upcast here — the conv transpose (AD)
+    rule requires matching operand dtypes, so with a bf16 compute dtype the
+    conv output is bf16 (MXU still accumulates fp32 internally) and the bias
+    add below promotes back to fp32.
+    """
     w = p["w"]
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
@@ -96,7 +102,6 @@ def conv1d(p, x, stride=1, padding="SAME", dtype=None):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(stride,), padding=padding,
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in p:
         y = y + p["b"]
@@ -125,7 +130,6 @@ def conv2d(p, x, stride=(1, 1), padding=((1, 1), (1, 1)), dtype=None):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if "b" in p:
         y = y + p["b"]
