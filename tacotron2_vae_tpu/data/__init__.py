@@ -1,0 +1,9 @@
+"""Data pipeline: datasets, collate, loaders."""
+
+from .dataset import (  # noqa: F401
+    Batch,
+    DataLoader,
+    TextMelDataset,
+    collate,
+    load_filepaths_and_text,
+)

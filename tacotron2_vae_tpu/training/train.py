@@ -1,0 +1,161 @@
+"""Training entry point (CLI parity with reference train.py:253-285).
+
+    python train.py -o outdir -l logdir [--hparams=a=1,b=2] [-c ckpt]
+                    [--warm_start]
+
+Single-controller JAX replaces the reference's multiproc.py + NCCL ranks:
+all local devices train together through the mesh; multi-host runs call
+``jax.distributed.initialize`` once (no per-rank launcher).
+
+Deliberate fix vs the reference: validation logs the *averaged* val loss,
+not the last batch's (reference bug at train.py:142-147, noted in SURVEY §3.5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from ..config import create_hparams
+from ..data.dataset import DataLoader, TextMelDataset
+from ..parallel import make_mesh, make_parallel_train_step, shard_batch, shard_train_state
+from .checkpoint import load_checkpoint, save_checkpoint, warm_start as warm_start_fn
+from .train_state import create_train_state, make_eval_step
+from .loss import tacotron2_vae_loss
+
+
+def prepare_dataloaders(hp, shard=(0, 1)):
+    trainset = TextMelDataset(hp.training_files, hp)
+    valset = TextMelDataset(hp.validation_files, hp, shuffle=False)
+    train_loader = DataLoader(trainset, hp.batch_size, hp, shuffle=True, shard=shard)
+    val_loader = DataLoader(valset, hp.batch_size, hp, shuffle=False, drop_last=False)
+    return train_loader, val_loader
+
+
+def validate(eval_step, ts, val_loader, rng):
+    losses = []
+    last = None
+    for batch in val_loader.epoch(0):
+        total, aux, out = eval_step(ts, batch.asdict(), rng)
+        losses.append(float(total))
+        last = (batch, out)
+    return (float(np.mean(losses)) if losses else float("nan")), last
+
+
+def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
+    os.makedirs(output_directory, exist_ok=True)
+
+    # Data axis must divide the batch; use as many devices as cleanly fit.
+    import math
+
+    n_dev = len(jax.devices())
+    model = max(1, hp.mesh_model)
+    avail = max(1, n_dev // model)
+    data = hp.mesh_data if hp.mesh_data not in (-1, None) else math.gcd(
+        hp.batch_size, avail
+    )
+    mesh = make_mesh(
+        devices=jax.devices()[: data * model], data=data, model=model
+    )
+    rng = jax.random.PRNGKey(hp.seed)
+    rng, init_rng = jax.random.split(rng)
+
+    ts = create_train_state(init_rng, hp)
+    learning_rate = hp.learning_rate
+    iteration = 0
+    if checkpoint_path:
+        if warm_start:
+            ts = warm_start_fn(checkpoint_path, ts)
+        else:
+            ts, iteration, saved_lr = load_checkpoint(checkpoint_path, ts)
+            if hp.use_saved_learning_rate:
+                learning_rate = saved_lr
+            iteration += 1
+
+    ts = shard_train_state(ts, mesh)
+    train_step = make_parallel_train_step(hp, mesh, learning_rate)
+    eval_step = jax.jit(make_eval_step(hp))
+
+    train_loader, val_loader = prepare_dataloaders(hp)
+    epoch_offset = max(0, iteration // max(len(train_loader), 1))
+
+    logger = None
+    if log_directory:
+        from .logger import Tacotron2Logger
+
+        logger = Tacotron2Logger(os.path.join(output_directory, log_directory))
+
+    for epoch in range(epoch_offset, hp.epochs):
+        print(f"Epoch: {epoch}")
+        for batch in train_loader.epoch(epoch):
+            t0 = time.perf_counter()
+            rng, step_rng = jax.random.split(rng)
+            ts, metrics = train_step(
+                ts, shard_batch(batch.asdict(), mesh), step_rng
+            )
+            loss = float(metrics["loss"])  # also syncs the step
+            duration = time.perf_counter() - t0
+
+            if np.isfinite(loss):
+                print(
+                    f"Train loss {iteration} {loss:.6f} Grad Norm "
+                    f"{float(metrics['grad_norm']):.6f} {duration:.2f}s/it"
+                )
+                if logger:
+                    logger.log_training(
+                        loss, float(metrics["grad_norm"]), learning_rate,
+                        duration, float(metrics["kl_loss"]),
+                        float(metrics["kl_weight"]),
+                        float(metrics["recon_loss"]), iteration,
+                    )
+            else:
+                print(f"Train loss {iteration} non-finite; update skipped")
+
+            if iteration % hp.iters_per_checkpoint == 0 and iteration > 0:
+                rng, val_rng = jax.random.split(rng)
+                val_loss, last = validate(eval_step, ts, val_loader, val_rng)
+                print(f"Validation loss {iteration}: {val_loss:.6f}")
+                if logger and last is not None:
+                    vbatch, vout = last
+                    logger.log_validation(
+                        val_loss, jax.device_get(ts.params), vout,
+                        (vbatch.mel, vbatch.gate), iteration,
+                    )
+                ckpt = save_checkpoint(ts, learning_rate, output_directory,
+                                       iteration)
+                print(f"Saved checkpoint: {ckpt}")
+            iteration += 1
+
+    return ts, iteration
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-o", "--output_directory", type=str, required=True,
+                        help="directory to save checkpoints")
+    parser.add_argument("-l", "--log_directory", type=str, default="logs",
+                        help="directory for tensorboard logs")
+    parser.add_argument("-c", "--checkpoint_path", type=str, default=None,
+                        help="checkpoint path to resume from")
+    parser.add_argument("--warm_start", action="store_true",
+                        help="load model weights only")
+    # Accepted for CLI parity with the reference launcher; ignored (JAX is
+    # single-controller): --n_gpus, --rank, --group_name.
+    parser.add_argument("--n_gpus", type=int, default=1)
+    parser.add_argument("--rank", type=int, default=0)
+    parser.add_argument("--group_name", type=str, default="")
+    parser.add_argument("--hparams", type=str, default=None,
+                        help="comma separated name=value pairs")
+    args = parser.parse_args(argv)
+
+    hp = create_hparams(args.hparams)
+    train(args.output_directory, args.log_directory, args.checkpoint_path,
+          args.warm_start, hp)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,122 @@
+"""Data pipeline tests: filelist parsing, mel extraction, collate invariants,
+and an end-to-end tiny training run with checkpoint save/resume."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from tacotron2_vae_tpu.config import create_hparams
+from tacotron2_vae_tpu.data import DataLoader, TextMelDataset, collate
+from tacotron2_vae_tpu.dsp.audio import save_wav
+
+TINY = (
+    "batch_size=2,symbols_embedding_dim=32,encoder_embedding_dim=32,"
+    "attention_rnn_dim=32,decoder_rnn_dim=32,prenet_dim=16,attention_dim=16,"
+    "postnet_embedding_dim=32,E=32,ref_enc_gru_size=16,z_latent_dim=4,"
+    "ref_enc_filters=[2,2,4,4,8,8],attention_location_n_filters=4,"
+    "encoder_n_convolutions=2,postnet_n_convolutions=3,"
+    "compute_dtype='float32',anneal_function='constant',"
+    "text_bucket_size=8,mel_bucket_size=16,epochs=1,iters_per_checkpoint=2"
+)
+
+TEXTS = [
+    "감정있는 한국어 목소리",
+    "안녕하세요 반갑습니다",
+    "오늘 날씨가 좋네요",
+    "테스트 문장입니다",
+]
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("koemo")
+    lines = []
+    rng = np.random.RandomState(0)
+    for i, text in enumerate(TEXTS):
+        n = 4000 + 800 * i
+        wav = (0.3 * np.sin(2 * np.pi * 220 * (i + 1) * np.arange(n) / 16000)
+               + 0.01 * rng.randn(n)).astype(np.float32)
+        path = os.path.join(str(d), f"utt_{i}.wav")
+        save_wav(path, wav, 16000)
+        lines.append(f"{path}|{text}|0|{i % 4}")
+    filelist = os.path.join(str(d), "train.txt")
+    with open(filelist, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(d), filelist
+
+
+@pytest.fixture(scope="module")
+def hp(dataset_dir):
+    _, filelist = dataset_dir
+    return create_hparams(TINY).replace(
+        training_files=filelist, validation_files=filelist
+    )
+
+
+def test_dataset_items(hp):
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    assert len(ds) == 4
+    text, mel, speaker, emotion = ds[0]
+    assert text.dtype == np.int32 and text[-1] == 1  # EOS id
+    assert mel.shape[0] == hp.n_mel_channels
+    assert mel.min() >= np.log(1e-5) - 1e-4
+    assert speaker.shape == (hp.n_speakers,) and speaker.sum() == 1.0
+    assert emotion.shape == (hp.n_emotions,) and emotion.sum() == 1.0
+
+
+def test_collate_invariants(hp):
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    items = [ds[i] for i in range(3)]
+    b = collate(items, text_bucket=8, mel_bucket=16)
+    B, S = b.text.shape
+    _, _, T = b.mel.shape
+    assert S % 8 == 0 and T % 16 == 0
+    # sorted by text length descending (reference data_utils.py:95-97)
+    assert list(b.input_lengths) == sorted(b.input_lengths, reverse=True)
+    for i in range(B):
+        L = b.output_lengths[i]
+        # gate is 1.0 from the last valid frame on (data_utils.py:133)
+        assert b.gate[i, L - 1] == 1.0
+        assert np.all(b.gate[i, L - 1 :] == 1.0)
+        assert np.all(b.gate[i, : L - 1] == 0.0)
+        # mel padding is zero
+        assert np.all(b.mel[i, :, L:] == 0.0)
+        # text padding is zero
+        assert np.all(b.text[i, b.input_lengths[i] :] == 0)
+
+
+def test_dataloader_sharding(hp):
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    dl0 = DataLoader(ds, 1, hp, shuffle=False, shard=(0, 2))
+    dl1 = DataLoader(ds, 1, hp, shuffle=False, shard=(1, 2))
+    b0 = [b.text[0].tolist() for b in dl0.epoch(0)]
+    b1 = [b.text[0].tolist() for b in dl1.epoch(0)]
+    assert len(b0) == len(b1) == 2
+    assert all(x != y for x, y in zip(b0, b1))
+
+
+def test_end_to_end_train_and_resume(hp, tmp_path):
+    from tacotron2_vae_tpu.training.train import train
+    from tacotron2_vae_tpu.training.checkpoint import (
+        latest_checkpoint,
+        load_checkpoint,
+    )
+    from tacotron2_vae_tpu.training.train_state import create_train_state
+
+    outdir = str(tmp_path / "out")
+    ts, iteration = train(outdir, None, None, False, hp)
+    assert iteration == 2  # 4 utterances / batch 2 = 2 iters/epoch
+    ckpt = latest_checkpoint(outdir)
+    # iters_per_checkpoint=2 fires nothing within 2 iterations (0 excluded);
+    # save one manually through the public API to test the roundtrip.
+    from tacotron2_vae_tpu.training.checkpoint import save_checkpoint
+
+    path = save_checkpoint(ts, hp.learning_rate, outdir)
+    ts2 = create_train_state(jax.random.PRNGKey(99), hp)
+    ts2, it, lr = load_checkpoint(path, ts2)
+    assert it == 2 and lr == hp.learning_rate
+    a = np.asarray(jax.device_get(ts.params)["decoder"]["proj"]["w"])
+    b = np.asarray(ts2.params["decoder"]["proj"]["w"])
+    np.testing.assert_array_equal(a, b)
