@@ -1,0 +1,256 @@
+"""WaveGlow vocoder in JAX (flow-based mel -> waveform).
+
+The reference consumes NVIDIA WaveGlow as a pickled torch model
+(``synthesizer.py:79-80,163``, submodule at ``.gitmodules:1-4``); this is a
+from-scratch JAX implementation of the architecture (arXiv:1811.00002):
+squeeze-to-groups, 12 flows of [invertible 1x1 conv + affine coupling with a
+non-causal WaveNet conditioner], early channel outputs every 4 flows, and a
+ConvTranspose mel upsampler.  Both directions are provided: ``forward``
+(audio -> z, used for tests/training) and ``infer`` (z -> audio, the serving
+path, ``sigma=0.666`` like reference synthesizer.py:163).
+
+Layout: channel-last (B, T, C); conv weights (k, in, out).  The torch
+checkpoint converter (tools/convert_waveglow.py) folds weight norm and
+transposes into this layout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class WaveGlowConfig:
+    n_mel_channels: int = 80
+    n_flows: int = 12
+    n_group: int = 8
+    n_early_every: int = 4
+    n_early_size: int = 2
+    # WN (WaveNet conditioner)
+    n_layers: int = 8
+    n_channels: int = 256
+    kernel_size: int = 3
+    # mel upsampler
+    upsample_kernel: int = 1024
+    upsample_stride: int = 256
+
+    def audio_channels(self) -> list[int]:
+        """Audio channel count entering each flow (forward direction)."""
+        chans, c = [], self.n_group
+        for k in range(self.n_flows):
+            if k % self.n_early_every == 0 and k > 0:
+                c -= self.n_early_size
+            chans.append(c)
+        return chans
+
+    @property
+    def n_remaining_channels(self) -> int:
+        return self.audio_channels()[-1]
+
+
+def _conv_init(key, k, cin, cout, scale=0.05):
+    kw, kb = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw, (k, cin, cout)) * scale,
+        "b": jnp.zeros((cout,)),
+    }
+
+
+def init(key, cfg: WaveGlowConfig = WaveGlowConfig()):
+    keys = jax.random.split(key, cfg.n_flows + 1)
+    cond_dim = cfg.n_mel_channels * cfg.n_group
+    flows = []
+    for k_idx, c in enumerate(cfg.audio_channels()):
+        n_half = c // 2
+        fk = jax.random.split(keys[k_idx], cfg.n_layers * 2 + 4)
+        # Orthogonal 1x1 mixing matrix (det != 0 guaranteed).
+        w = jax.random.orthogonal(fk[0], c)
+        wn = {
+            "start": _conv_init(fk[1], 1, n_half, cfg.n_channels),
+            # end is zero-init (identity coupling at init, standard for glow)
+            "end": {
+                "w": jnp.zeros((1, cfg.n_channels, 2 * n_half)),
+                "b": jnp.zeros((2 * n_half,)),
+            },
+            "cond": _conv_init(fk[2], 1, cond_dim, 2 * cfg.n_channels * cfg.n_layers),
+            "in": [],
+            "res_skip": [],
+        }
+        for i in range(cfg.n_layers):
+            wn["in"].append(
+                _conv_init(fk[3 + 2 * i], cfg.kernel_size, cfg.n_channels,
+                           2 * cfg.n_channels)
+            )
+            out_ch = 2 * cfg.n_channels if i < cfg.n_layers - 1 else cfg.n_channels
+            wn["res_skip"].append(
+                _conv_init(fk[4 + 2 * i], 1, cfg.n_channels, out_ch)
+            )
+        flows.append({"inv_conv": {"w": w}, "wn": wn})
+    upsample = _conv_init(keys[-1], cfg.upsample_kernel, cfg.n_mel_channels,
+                          cfg.n_mel_channels)
+    return {"upsample": upsample, "flows": flows}
+
+
+def _conv1d(p, x, dilation=1):
+    pad = (p["w"].shape[0] - 1) * dilation // 2
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1,), padding=[(pad, pad)],
+        rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return y + p["b"]
+
+
+def _upsample_mel(p, mel, cfg: WaveGlowConfig):
+    """ConvTranspose1d(80, 80, 1024, stride 256): (B, T, 80) -> (B, T', 80).
+
+    Implemented as an lhs-dilated conv with a flipped kernel (equivalent to
+    torch's transposed conv; parity-tested against torch in tests).
+    """
+    k = cfg.upsample_kernel
+    w = jnp.flip(p["w"], axis=0)  # stored (k, in, out) in torch-transposed form
+    y = jax.lax.conv_general_dilated(
+        mel, w, window_strides=(1,), padding=[(k - 1, k - 1)],
+        lhs_dilation=(cfg.upsample_stride,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    y = y + p["b"]
+    # Trim the transposed-conv tail (NVIDIA glow.py trims kernel - stride).
+    trim = k - cfg.upsample_stride
+    return y[:, : y.shape[1] - trim]
+
+
+def _squeeze_mel(mel_up, cfg: WaveGlowConfig):
+    """(B, T*group, n_mel) -> (B, T, n_mel*group) matching torch's
+    unfold(2, n_group, n_group) + permute ordering: for output channel
+    (m, g) the value is mel_up[t*group + g, m], flattened mel-major."""
+    B, T_up, M = mel_up.shape
+    T = T_up // cfg.n_group
+    x = mel_up[:, : T * cfg.n_group].reshape(B, T, cfg.n_group, M)
+    return jnp.swapaxes(x, 2, 3).reshape(B, T, M * cfg.n_group)
+
+
+def _squeeze_audio(audio, cfg: WaveGlowConfig):
+    """(B, samples) -> (B, T, n_group)."""
+    B, n = audio.shape
+    T = n // cfg.n_group
+    return audio[:, : T * cfg.n_group].reshape(B, T, cfg.n_group)
+
+
+def _unsqueeze_audio(audio):
+    B, T, C = audio.shape
+    return audio.reshape(B, T * C)
+
+
+def _wn(wn, audio_0, cond, cfg: WaveGlowConfig):
+    """Non-causal WaveNet conditioner -> (b, log_s)."""
+    x = _conv1d(wn["start"], audio_0)
+    cond_all = _conv1d(wn["cond"], cond)  # (B, T, 2*ch*n_layers)
+    output = jnp.zeros_like(x)
+    nc = cfg.n_channels
+    for i in range(cfg.n_layers):
+        a = _conv1d(wn["in"][i], x, dilation=2 ** i)
+        c = jax.lax.dynamic_slice_in_dim(cond_all, i * 2 * nc, 2 * nc, axis=2)
+        acts = jnp.tanh(a[..., :nc] + c[..., :nc]) * jax.nn.sigmoid(
+            a[..., nc:] + c[..., nc:]
+        )
+        rs = _conv1d(wn["res_skip"][i], acts)
+        if i < cfg.n_layers - 1:
+            x = x + rs[..., :nc]
+            output = output + rs[..., nc:]
+        else:
+            output = output + rs
+    out = _conv1d(wn["end"], output)
+    n_half = out.shape[-1] // 2
+    return out[..., :n_half], out[..., n_half:]  # (b, log_s)
+
+
+def forward(params, audio, mel, cfg: WaveGlowConfig = WaveGlowConfig()):
+    """Training direction: (audio (B, samples), mel (B, n_mel, T_mel)) ->
+    (z (B, T, n_group), log_s_list, log_det_w_list)."""
+    mel_up = _upsample_mel(params["upsample"], jnp.swapaxes(mel, 1, 2), cfg)
+    x = _squeeze_audio(audio, cfg)
+    cond = _squeeze_mel(mel_up[:, : x.shape[1] * cfg.n_group], cfg)
+    cond = cond[:, : x.shape[1]]
+
+    out_z, log_s_all, log_det_all = [], [], []
+    for k, flow in enumerate(params["flows"]):
+        if k % cfg.n_early_every == 0 and k > 0:
+            out_z.append(x[..., : cfg.n_early_size])
+            x = x[..., cfg.n_early_size :]
+        # invertible 1x1
+        w = flow["inv_conv"]["w"]
+        x = jnp.einsum("btc,cd->btd", x, w)
+        log_det_all.append(
+            x.shape[1] * jnp.linalg.slogdet(w)[1] * jnp.ones(())
+        )
+        # affine coupling
+        n_half = x.shape[-1] // 2
+        x0, x1 = x[..., :n_half], x[..., n_half:]
+        b, log_s = _wn(flow["wn"], x0, cond, cfg)
+        x1 = x1 * jnp.exp(log_s) + b
+        log_s_all.append(log_s)
+        x = jnp.concatenate([x0, x1], axis=-1)
+    out_z.append(x)
+    z = jnp.concatenate(out_z, axis=-1)
+    return z, log_s_all, log_det_all
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _inverse_impl(params, z, cond, cfg: WaveGlowConfig):
+    """Deterministic inverse flow: z (B, T, n_group) -> audio (B, T, n_group).
+
+    z channel layout matches ``forward``'s output: early outputs in emission
+    order, then the final remaining channels.
+    """
+    chans = cfg.audio_channels()
+    # Split z into [early_1, early_2, ..., final] parts.
+    sizes = [cfg.n_early_size
+             for k in range(cfg.n_flows)
+             if k % cfg.n_early_every == 0 and k > 0]
+    sizes.append(cfg.n_remaining_channels)
+    parts, off = [], 0
+    for s in sizes:
+        parts.append(z[..., off : off + s])
+        off += s
+    x = parts.pop()  # final
+
+    for k in reversed(range(cfg.n_flows)):
+        flow = params["flows"][k]
+        n_half = chans[k] // 2
+        x0, x1 = x[..., :n_half], x[..., n_half:]
+        b, log_s = _wn(flow["wn"], x0, cond, cfg)
+        x1 = (x1 - b) * jnp.exp(-log_s)
+        x = jnp.concatenate([x0, x1], axis=-1)
+        w_inv = jnp.linalg.inv(flow["inv_conv"]["w"])
+        x = jnp.einsum("btc,cd->btd", x, w_inv)
+        if k % cfg.n_early_every == 0 and k > 0:
+            x = jnp.concatenate([parts.pop(), x], axis=-1)
+    return x
+
+
+def _cond_from_mel(params, mel, cfg: WaveGlowConfig):
+    mel_up = _upsample_mel(params["upsample"], jnp.swapaxes(mel, 1, 2), cfg)
+    return _squeeze_mel(mel_up, cfg)
+
+
+def inverse(params, z, mel, cfg: WaveGlowConfig = WaveGlowConfig()):
+    """Deterministic z -> audio (for tests and importance sampling)."""
+    cond = _cond_from_mel(params, mel, cfg)
+    T = min(cond.shape[1], z.shape[1])
+    return _unsqueeze_audio(_inverse_impl(params, z[:, :T], cond[:, :T], cfg))
+
+
+def infer(params, mel, cfg: WaveGlowConfig = WaveGlowConfig(),
+          sigma: float = 0.666, key=None):
+    """Serving direction: mel (B, n_mel, T_mel) -> waveform (B, samples)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    cond = _cond_from_mel(params, mel, cfg)
+    B, T, _ = cond.shape
+    z = sigma * jax.random.normal(key, (B, T, cfg.n_group))
+    return _unsqueeze_audio(_inverse_impl(params, z, cond, cfg))

@@ -1,0 +1,83 @@
+"""WaveGlow tests: flow invertibility (forward o inverse == identity),
+upsampler parity with torch ConvTranspose1d, shape/latency sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_vae_tpu.models import waveglow as wg
+
+CFG = wg.WaveGlowConfig(
+    n_mel_channels=80, n_flows=6, n_group=8, n_early_every=2, n_early_size=2,
+    n_layers=2, n_channels=16, upsample_kernel=1024, upsample_stride=256,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return wg.init(jax.random.PRNGKey(0), CFG)
+
+
+def test_channel_schedule():
+    assert CFG.audio_channels() == [8, 8, 6, 6, 4, 4]
+    assert CFG.n_remaining_channels == 4
+    full = wg.WaveGlowConfig()
+    assert full.audio_channels() == [8] * 4 + [6] * 4 + [4] * 4
+    assert full.n_remaining_channels == 4
+
+
+def test_forward_inverse_roundtrip(params):
+    rng = np.random.RandomState(0)
+    B, n_mel_frames = 1, 17
+    samples = n_mel_frames * 256
+    audio = rng.randn(B, samples).astype(np.float32) * 0.1
+    mel = rng.randn(B, 80, n_mel_frames).astype(np.float32)
+
+    z, log_s_list, log_det_list = wg.forward(params, jnp.asarray(audio),
+                                             jnp.asarray(mel), CFG)
+    assert z.shape[-1] == 8
+    recon = wg.inverse(params, z, jnp.asarray(mel), CFG)
+    T = min(recon.shape[1], samples)
+    np.testing.assert_allclose(
+        np.asarray(recon)[0, :T], audio[0, :T], atol=2e-3, rtol=1e-2
+    )
+
+
+def test_infer_shapes_and_finite(params):
+    mel = jnp.asarray(np.random.RandomState(0).randn(2, 80, 23).astype(np.float32))
+    audio = wg.infer(params, mel, CFG, sigma=0.666, key=jax.random.PRNGKey(1))
+    assert audio.shape[0] == 2
+    # ~ mel_frames * hop samples
+    assert abs(audio.shape[1] - 23 * 256) <= CFG.n_group * 8
+    assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_upsample_matches_torch_conv_transpose(params):
+    torch = pytest.importorskip("torch")
+    ct = torch.nn.ConvTranspose1d(80, 80, 1024, stride=256)
+    w_t = ct.weight.detach().numpy()  # (in, out, k)
+    b_t = ct.bias.detach().numpy()
+    p = {"w": jnp.asarray(np.transpose(w_t, (2, 0, 1))), "b": jnp.asarray(b_t)}
+
+    x = np.random.RandomState(0).randn(1, 80, 9).astype(np.float32)
+    out_t = ct(torch.from_numpy(x)).detach().numpy()  # (1, 80, (9-1)*256+1024)
+    # NVIDIA trims kernel - stride from the tail.
+    out_t = out_t[:, :, : out_t.shape[2] - (1024 - 256)]
+
+    out_j = wg._upsample_mel(p, jnp.asarray(np.transpose(x, (0, 2, 1))), CFG)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out_j), (0, 2, 1)), out_t, atol=1e-4
+    )
+
+
+def test_log_det_terms(params):
+    rng = np.random.RandomState(1)
+    audio = rng.randn(1, 8 * 16).astype(np.float32)
+    mel = rng.randn(1, 80, 16).astype(np.float32)
+    _, log_s_list, log_det_list = wg.forward(
+        params, jnp.asarray(audio), jnp.asarray(mel), CFG
+    )
+    assert len(log_s_list) == CFG.n_flows
+    assert len(log_det_list) == CFG.n_flows
+    assert all(np.isfinite(float(d)) for d in log_det_list)
