@@ -81,11 +81,15 @@ def forward(
     *,
     train: bool,
     rng,
+    prenet_dropout_enabled: bool = True,
 ) -> Tuple[Tacotron2Output, Dict[str, Any]]:
     """Teacher-forced forward (reference model.py:522-547).
 
     batch keys: text (B, S) int32, input_lengths (B,), mel (B, n_mel, T),
     output_lengths (B,), speakers, emotions.
+
+    prenet_dropout_enabled=False disables the always-on prenet dropout for
+    deterministic parity testing (reference keeps it on, model.py:101).
     """
     dtype = jnp.dtype(hp.compute_dtype) if hp.compute_dtype != "float32" else None
     r_enc, r_vae, r_dec, r_post = jax.random.split(rng, 4)
@@ -105,7 +109,7 @@ def forward(
     mel_outputs, gate_outputs, alignments = decoder_mod.teacher_forced(
         params["decoder"], memory, batch["mel"], batch["input_lengths"], hp,
         train=train, rng=r_dec, dtype=dtype,
-        prenet_dropout_enabled=True,
+        prenet_dropout_enabled=prenet_dropout_enabled,
     )
 
     residual, post_state = postnet_mod.apply(
