@@ -1,0 +1,262 @@
+"""Serving-layer Synthesizer: text + style conditioning -> waveform.
+
+API parity with the reference ``Synthesizer`` (synthesizer.py:46-168):
+``load(checkpoint_path, waveglow_path)`` then
+``synthesize(text, path, condition_on_ref, ref_audio, ratios)``.
+
+Style conditioning paths (synthesizer.py:121-131):
+  * reference audio: VAE-GST style embedding of a mel extracted from a wav;
+  * emotion-ratio mix: z = sum(ratio_i * centroid_i) over per-emotion latent
+    centroids precomputed from a filelist and cached to .npz
+    (synthesizer.py:82-110); centroid order [neu, sad, hap, ang] with ratios
+    indexed [neu, sad, hap, ang] (synthesizer.py:128-129);
+  * interpolation between two centroids (inference.ipynb recipe,
+    README.md:189-221) via ``interpolate``.
+
+Deliberate fix vs the reference: we vocode the *postnet* mel by default
+(the reference feeds the pre-postnet mel to WaveGlow, synthesizer.py:163);
+pass ``vocode_prepostnet=True`` for bug-compatible behavior.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import create_hparams
+from ..dsp import TacotronSTFT, griffin_lim, load_wav, save_wav
+from ..dsp.stft import dynamic_range_decompression
+from ..models import tacotron2, vae_gst
+from ..models import waveglow as waveglow_mod
+from ..text import text_to_sequence
+
+
+class Synthesizer:
+    def __init__(self, hparams=None):
+        self.hparams = hparams or create_hparams()
+        self.hparams = self.hparams.replace(
+            sampling_rate=16000, max_decoder_steps=600  # synthesizer.py:50-51
+        )
+        hp = self.hparams
+        self.stft = TacotronSTFT(
+            hp.filter_length, hp.hop_length, hp.win_length,
+            hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin, hp.mel_fmax,
+        )
+        self.params = None
+        self.model_state = None
+        self.waveglow = None
+        self.waveglow_cfg = waveglow_mod.WaveGlowConfig(
+            n_mel_channels=hp.n_mel_channels
+        )
+        self._rng = jax.random.PRNGKey(hp.seed)
+        self._synth_jit = None
+
+    # ------------------------------------------------------------------
+
+    def load_mel(self, path: str) -> jnp.ndarray:
+        audio, sr = load_wav(path)
+        if sr != self.hparams.sampling_rate:
+            raise ValueError(
+                f"{sr} SR doesn't match target {self.hparams.sampling_rate} SR"
+            )
+        audio = audio / self.hparams.max_wav_value
+        return self.stft.mel_spectrogram(audio[None])
+
+    def load(self, checkpoint_path: str, waveglow_path: str | None = None,
+             centroid_filelist: str | None = None):
+        """Load model weights (+ optional WaveGlow) and per-emotion centroids."""
+        self.params, self.model_state = _load_any_checkpoint(
+            checkpoint_path, self.hparams
+        )
+        if waveglow_path:
+            self.waveglow = _load_waveglow(waveglow_path, self.waveglow_cfg)
+
+        if centroid_filelist is None:
+            centroid_filelist = os.path.join(
+                "web", "static", "uploads", "koemo_spk_emo_all_test.txt"
+            )
+        if os.path.exists(centroid_filelist):
+            self._load_centroids(checkpoint_path, centroid_filelist)
+        else:
+            # No filelist available: zero centroids (ratio path degrades to
+            # the prior mean).
+            z = np.zeros(self.hparams.z_latent_dim, np.float32)
+            self.neu = self.sad = self.ang = self.hap = z
+
+    def _load_centroids(self, checkpoint_path: str, filelist: str):
+        """Per-emotion latent centroids, cached to .npz beside the checkpoint
+        (reference synthesizer.py:82-110)."""
+        base = os.path.dirname(os.path.abspath(checkpoint_path))
+        tag = os.path.basename(filelist).rsplit("_", 1)[-1].split(".")[0]
+        npz_path = os.path.join(
+            base, os.path.basename(checkpoint_path) + "_" + tag + ".npz"
+        )
+        if os.path.exists(npz_path):
+            d = np.load(npz_path)
+            zs, emotions = d["zs"], d["emotions"]
+        else:
+            entries = [
+                line.strip().split("|")
+                for line in open(filelist, encoding="utf-8")
+                if line.strip()
+            ]
+            zs, emotions = [], []
+            for audio_path, _text, _spk, emotion in entries:
+                mel = self.load_mel(audio_path)
+                (_, _, _, z), _ = vae_gst.apply(
+                    self.params["vae_gst"], self.model_state["vae_gst"],
+                    mel, train=False,
+                )
+                zs.append(np.asarray(z)[0])
+                emotions.append(int(emotion))
+            zs = np.stack(zs)
+            emotions = np.asarray(emotions)
+            np.savez(npz_path, zs=zs, emotions=emotions)
+        self.neu = zs[emotions == 0].mean(axis=0)
+        self.sad = zs[emotions == 1].mean(axis=0)
+        self.ang = zs[emotions == 2].mean(axis=0)
+        self.hap = zs[emotions == 3].mean(axis=0)
+
+    # ------------------------------------------------------------------
+
+    def style_from_ref(self, ref_audio: str) -> jnp.ndarray:
+        """Style embedding from a reference wav (synthesizer.py:121-125)."""
+        mel = self.load_mel(ref_audio)
+        (style, _, _, _), _ = vae_gst.apply(
+            self.params["vae_gst"], self.model_state["vae_gst"], mel,
+            train=False,
+        )
+        return style[0]
+
+    def style_from_ratios(self, ratios: Sequence[float]) -> jnp.ndarray:
+        """Style embedding from emotion ratios [neu, sad, hap, ang]
+        (synthesizer.py:127-131)."""
+        z = (
+            ratios[0] * self.neu + ratios[1] * self.sad
+            + ratios[2] * self.hap + ratios[3] * self.ang
+        )
+        from ..ops.layers import linear
+
+        return linear(self.params["vae_gst"]["fc3"], jnp.asarray(z, jnp.float32))
+
+    def interpolate(self, emotion_a: str, emotion_b: str, alpha: float):
+        """Latent interpolation between two emotion centroids
+        (inference.ipynb recipe, README.md:189-221)."""
+        za = getattr(self, emotion_a)
+        zb = getattr(self, emotion_b)
+        z = (1.0 - alpha) * za + alpha * zb
+        from ..ops.layers import linear
+
+        return linear(self.params["vae_gst"]["fc3"], jnp.asarray(z, jnp.float32))
+
+    # ------------------------------------------------------------------
+
+    def synthesize_mel(self, text: str, style: jnp.ndarray):
+        """text + style embedding -> (mel, mel_postnet, gate, align, length)."""
+        hp = self.hparams
+        seq = np.asarray(
+            text_to_sequence(text, ["korean_cleaners"]), np.int32
+        )[None, :]
+        self._rng, rng = jax.random.split(self._rng)
+        if self._synth_jit is None:
+            def _synth(params, state, text_ids, style, rng):
+                return tacotron2.infer(
+                    params, state, text_ids, style, hp, rng=rng,
+                    max_steps=hp.max_decoder_steps,
+                )
+            self._synth_jit = jax.jit(_synth)
+        mel, mel_post, gate, align, lengths = self._synth_jit(
+            self.params, self.model_state, jnp.asarray(seq),
+            jnp.asarray(style)[None] if style.ndim == 1 else style, rng,
+        )
+        n = int(lengths[0])
+        return (
+            np.asarray(mel)[:, :, :n],
+            np.asarray(mel_post)[:, :, :n],
+            np.asarray(gate)[:, :n],
+            np.asarray(align)[:, :n],
+            n,
+        )
+
+    def vocode(self, mel: np.ndarray, sigma: float = 0.666) -> np.ndarray:
+        """mel (1, n_mel, T) -> waveform via WaveGlow (or Griffin-Lim)."""
+        if self.waveglow is not None:
+            self._rng, rng = jax.random.split(self._rng)
+            wav = waveglow_mod.infer(
+                self.waveglow, jnp.asarray(mel), self.waveglow_cfg,
+                sigma=sigma, key=rng,
+            )
+            return np.asarray(wav)[0]
+        # Griffin-Lim fallback: invert the log-mel approximately.
+        hp = self.hparams
+        mel_lin = np.asarray(dynamic_range_decompression(jnp.asarray(mel)))[0]
+        fb = np.asarray(self.stft.mel_basis)
+        mag = np.maximum(np.linalg.pinv(fb) @ mel_lin, 0.0) ** 1.0
+        wav = griffin_lim(
+            jnp.asarray(mag[None]), hp.filter_length, hp.hop_length,
+            hp.win_length, n_iters=30,
+        )
+        return np.asarray(wav)[0]
+
+    def synthesize(self, text: str, path: str, condition_on_ref: bool,
+                   ref_audio: str | None, ratios: Sequence[float] | None,
+                   vocode_prepostnet: bool = False) -> str:
+        """Full text->wav pipeline (reference synthesizer.py:112-168)."""
+        if condition_on_ref:
+            style = self.style_from_ref(ref_audio)
+        else:
+            style = self.style_from_ratios(ratios or [1.0, 0.0, 0.0, 0.0])
+        mel, mel_post, *_ = self.synthesize_mel(text, style)
+        wav = self.vocode(mel if vocode_prepostnet else mel_post)
+        save_wav(path, wav, self.hparams.sampling_rate)
+        return path
+
+
+# --- checkpoint loading helpers -----------------------------------------------
+
+
+def _load_any_checkpoint(path: str, hp):
+    """Load params+state from an Orbax dir, a converted pickle, or a torch
+    checkpoint (auto-converted)."""
+    if os.path.isdir(path):
+        from ..training.checkpoint import load_checkpoint
+        from ..training.train_state import create_train_state
+
+        ts = create_train_state(jax.random.PRNGKey(0), hp)
+        ts, _, _ = load_checkpoint(path, ts)
+        return ts.params, ts.model_state
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"\x80\x04" or path.endswith((".pkl", ".pickle")):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        return blob["params"], blob["model_state"]
+    # torch checkpoint: convert on the fly
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "tools"))
+    from convert_torch_ckpt import convert_tacotron2
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    sd = blob.get("state_dict", blob)
+    return convert_tacotron2(sd, hp)
+
+
+def _load_waveglow(path: str, cfg):
+    if path.endswith(".pkl") or path.endswith(".pickle"):
+        with open(path, "rb") as f:
+            return pickle.load(f)["waveglow"]
+    import sys, os as _os
+
+    sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.abspath(__file__)))), "tools"))
+    from convert_torch_ckpt import convert_waveglow
+
+    return convert_waveglow(path, cfg)

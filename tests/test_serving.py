@@ -1,0 +1,167 @@
+"""Serving tests: Synthesizer end-to-end (text -> wav), centroid caching,
+style paths, and the HTTP demo/API routes."""
+
+import json
+import os
+import pickle
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from tacotron2_vae_tpu.config import create_hparams
+from tacotron2_vae_tpu.dsp.audio import load_wav, save_wav
+from tacotron2_vae_tpu.models import tacotron2
+from tacotron2_vae_tpu.models import waveglow as wg
+
+TINY = (
+    "batch_size=2,symbols_embedding_dim=32,encoder_embedding_dim=32,"
+    "attention_rnn_dim=32,decoder_rnn_dim=32,prenet_dim=16,attention_dim=16,"
+    "postnet_embedding_dim=32,E=32,ref_enc_gru_size=16,z_latent_dim=4,"
+    "ref_enc_filters=[2,2,4,4,8,8],attention_location_n_filters=4,"
+    "encoder_n_convolutions=2,postnet_n_convolutions=3,"
+    "compute_dtype='float32',max_decoder_steps=40"
+)
+
+WG_CFG = wg.WaveGlowConfig(
+    n_flows=4, n_group=8, n_early_every=2, n_early_size=2,
+    n_layers=2, n_channels=8,
+)
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve")
+    hp = create_hparams(TINY)
+    params, state = tacotron2.init(jax.random.PRNGKey(0), hp)
+    ckpt = os.path.join(str(d), "model.pkl")
+    with open(ckpt, "wb") as f:
+        pickle.dump(
+            {
+                "params": jax.device_get(params),
+                "model_state": jax.device_get(state),
+            },
+            f,
+        )
+    wg_params = wg.init(jax.random.PRNGKey(1), WG_CFG)
+    wg_path = os.path.join(str(d), "waveglow.pkl")
+    with open(wg_path, "wb") as f:
+        pickle.dump({"waveglow": jax.device_get(wg_params)}, f)
+
+    # tiny centroid filelist with real wavs
+    rng = np.random.RandomState(0)
+    lines = []
+    for i in range(4):
+        wav = (0.2 * np.sin(2 * np.pi * 220 * (i + 1)
+                            * np.arange(4096) / 16000)).astype(np.float32)
+        p = os.path.join(str(d), f"ref_{i}.wav")
+        save_wav(p, wav, 16000)
+        lines.append(f"{p}|텍스트|0|{i}")
+    filelist = os.path.join(str(d), "test_filelist.txt")
+    with open(filelist, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(d), hp, ckpt, wg_path, filelist
+
+
+def _make_synth(artifacts, with_waveglow=True):
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    d, hp, ckpt, wg_path, filelist = artifacts
+    synth = Synthesizer(hp)
+    synth.waveglow_cfg = WG_CFG
+    synth.load(ckpt, wg_path if with_waveglow else None,
+               centroid_filelist=filelist)
+    return synth
+
+
+def test_synthesize_ratio_path(artifacts, tmp_path):
+    synth = _make_synth(artifacts)
+    out = str(tmp_path / "out.wav")
+    synth.synthesize("안녕하세요", out, False, None, [0.5, 0.5, 0.0, 0.0])
+    wav, sr = load_wav(out)
+    assert sr == 16000 and len(wav) > 100
+    assert np.isfinite(wav).all()
+
+
+def test_synthesize_ref_path(artifacts, tmp_path):
+    d, *_ = artifacts
+    synth = _make_synth(artifacts)
+    out = str(tmp_path / "ref_out.wav")
+    synth.synthesize("반갑습니다", out, True, os.path.join(d, "ref_0.wav"), None)
+    assert os.path.exists(out)
+
+
+def test_centroid_cache_written(artifacts):
+    d, hp, ckpt, _, filelist = artifacts
+    synth = _make_synth(artifacts)
+    npz = [f for f in os.listdir(d) if f.endswith(".npz")]
+    assert npz, "centroid cache .npz expected beside the checkpoint"
+    assert synth.neu.shape == (hp.z_latent_dim,)
+
+
+def test_interpolation_path(artifacts):
+    synth = _make_synth(artifacts)
+    # The tiny test net collapses all inputs to one latent (2-channel convs
+    # with dead ReLUs — a test-config artifact); set distinct centroids to
+    # exercise the interpolation machinery itself.
+    rng = np.random.RandomState(0)
+    synth.neu = rng.randn(synth.hparams.z_latent_dim).astype(np.float32)
+    synth.hap = rng.randn(synth.hparams.z_latent_dim).astype(np.float32)
+    s0 = np.asarray(synth.interpolate("neu", "hap", 0.0))
+    s1 = np.asarray(synth.interpolate("neu", "hap", 1.0))
+    mid = np.asarray(synth.interpolate("neu", "hap", 0.5))
+    assert s0.shape == (synth.hparams.E,)
+    assert not np.allclose(s0, s1)
+    # fc3 is affine, so the midpoint maps to the midpoint
+    np.testing.assert_allclose(mid, (s0 + s1) / 2, atol=1e-5)
+
+
+def test_griffin_lim_fallback(artifacts, tmp_path):
+    synth = _make_synth(artifacts, with_waveglow=False)
+    out = str(tmp_path / "gl.wav")
+    synth.synthesize("테스트", out, False, None, [1.0, 0.0, 0.0, 0.0])
+    wav, sr = load_wav(out)
+    assert len(wav) > 100 and np.isfinite(wav).all()
+
+
+def test_http_api(artifacts, tmp_path, monkeypatch):
+    from tacotron2_vae_tpu.serving import app as app_mod
+
+    synth = _make_synth(artifacts)
+    monkeypatch.setattr(app_mod, "synthesizer", synth)
+    monkeypatch.setattr(app_mod, "_WEB", str(tmp_path / "web"))
+
+    server = app_mod.make_server(0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        from urllib.parse import quote
+
+        q = quote("안녕")
+        # index page
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/?text={q}") as r:
+            assert r.status == 200
+            assert "안녕" in r.read().decode("utf-8")
+        # /generate ratio path
+        url = (f"http://127.0.0.1:{port}/generate?text={q}&con=false"
+               "&n=1&s=0&h=0&a=0")
+        with urllib.request.urlopen(url) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "audio/wav"
+            assert len(r.read()) > 44
+        # POST /api
+        body = json.dumps({"text": "안녕", "neu": 1, "sad": 0,
+                           "hap": 0, "ang": 0}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            payload = json.loads(r.read())
+            assert payload["params"]["text"] == "안녕"
+            assert len(payload["data"]) > 100  # base64 wav
+    finally:
+        server.shutdown()
