@@ -160,7 +160,8 @@ def decode_step(params, state: DecoderState, prenet_out, memory,
 
 def teacher_forced(params, memory, mels, memory_lengths, hp, *,
                    train: bool, rng, dtype=None,
-                   prenet_dropout_enabled: bool = True):
+                   prenet_dropout_enabled: bool = True,
+                   unroll: int = 1, remat: bool = False):
     """Teacher-forced decoding (reference ``Decoder.forward``, model.py:391-426).
 
     memory: (B, S, enc_dim); mels: (B, n_mel, T) ground truth.
@@ -198,9 +199,12 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         )
         return new_state, ys
 
+    if remat:
+        step = jax.checkpoint(step)
     _, (h_dec, context, attn_w) = jax.lax.scan(
         step, initial_state(memory, hp),
         (jnp.swapaxes(prenet_out, 0, 1), step_keys),
+        unroll=unroll,
     )
     # h_dec/context: (T, B, *) -> batched output projection on the MXU.
     hidden_ctx = jnp.concatenate([h_dec, context], axis=-1)  # (T, B, 1536)
