@@ -16,7 +16,20 @@ import numpy as np
 
 
 def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
     import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
 
     from tacotron2_vae_tpu.config import create_hparams
     from tacotron2_vae_tpu.models import tacotron2
@@ -72,26 +85,33 @@ def main():
     )
     style = jax.numpy.zeros((1, hp.E))
 
-    def synth(params, state, text, style, rng):
-        # gate_threshold > 1 can never fire: forces the full 600 decoder
-        # steps so the RTF is an upper bound (a trained gate stops earlier).
-        return tacotron2.infer(
-            params, state, text, style, hp, rng=rng, max_steps=600,
-            gate_threshold=1.1, prenet_dropout_enabled=True,
-        )
+    def time_synth(use_pallas):
+        def synth(params, state, text, style, rng):
+            # gate_threshold > 1 can never fire: forces the full 600 decoder
+            # steps so the RTF is an upper bound (a trained gate stops earlier).
+            return tacotron2.infer(
+                params, state, text, style, hp, rng=rng, max_steps=600,
+                gate_threshold=1.1, prenet_dropout_enabled=True,
+                use_pallas=use_pallas,
+            )
 
-    synth_j = jax.jit(synth)
-    out = synth_j(params, state, text, style, jax.random.PRNGKey(0))
-    float(out[4][0])  # sync on the lengths output
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        out = synth_j(params, state, text, style, jax.random.PRNGKey(i))
-        float(out[4][0])
-    synth_dt = (time.perf_counter() - t0) / reps
+        synth_j = jax.jit(synth)
+        out = synth_j(params, state, text, style, jax.random.PRNGKey(0))
+        float(out[4][0])  # sync on the lengths output
+        t0 = time.perf_counter()
+        reps = 3
+        for i in range(reps):
+            out = synth_j(params, state, text, style, jax.random.PRNGKey(i))
+            float(out[4][0])
+        return (time.perf_counter() - t0) / reps
+
     n_frames = 600  # buffer length (upper bound on generated frames)
     audio_secs = n_frames * hp.hop_length / hp.sampling_rate  # 9.6 s
-    rtf = synth_dt / audio_secs
+    rtf_xla = time_synth(False) / audio_secs
+    try:
+        rtf = time_synth(True) / audio_secs  # fused Pallas decode loop
+    except Exception:
+        rtf = rtf_xla
 
     print(
         json.dumps(
@@ -104,6 +124,7 @@ def main():
                 "batch": B,
                 "mel_frames": T,
                 "inference_rtf_600_frames": round(rtf, 4),
+                "inference_rtf_xla_while_loop": round(rtf_xla, 4),
                 "device": str(jax.devices()[0]),
             }
         )

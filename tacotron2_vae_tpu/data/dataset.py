@@ -93,10 +93,11 @@ class TextMelDataset:
                 f"Mel dim mismatch: {mel.shape[0]} != {self.hp.n_mel_channels}"
             )
             return mel.astype(np.float32)
-        audio, sr = load_wav(audiopath)
+        from . import native
+
+        audio, sr = native.load_wav(audiopath, scale=self.hp.max_wav_value)
         if sr != self.hp.sampling_rate:
             raise ValueError(f"{sr} SR doesn't match target {self.hp.sampling_rate} SR")
-        audio = audio / self.hp.max_wav_value
         mel = np.asarray(self.stft.mel_spectrogram(audio[None]))[0]
         return mel.astype(np.float32)
 
@@ -130,6 +131,8 @@ def collate(
     frame on.  Additionally rounds padded lengths up to bucket multiples (or
     fixed lengths) for static XLA shapes.
     """
+    from . import native
+
     order = np.argsort([-len(it[0]) for it in items], kind="stable")
     items = [items[i] for i in order]
 
@@ -138,23 +141,12 @@ def collate(
     max_t = fixed_mel_len or _round_up(raw_t, mel_bucket)
     max_t = _round_up(max_t, n_frames_per_step)
 
-    B = len(items)
-    n_mel = items[0][1].shape[0]
-    text = np.zeros((B, max_s), np.int32)
-    input_lengths = np.zeros((B,), np.int32)
-    mel = np.zeros((B, n_mel, max_t), np.float32)
-    gate = np.zeros((B, max_t), np.float32)
-    output_lengths = np.zeros((B,), np.int32)
+    text, input_lengths = native.collate_text([it[0] for it in items], max_s)
+    mel, gate, output_lengths = native.collate_mels(
+        [it[1] for it in items], max_t
+    )
     speakers = np.stack([it[2] for it in items]).astype(np.float32)
     emotions = np.stack([it[3] for it in items]).astype(np.float32)
-
-    for i, (t, m, _, _) in enumerate(items):
-        text[i, : len(t)] = t
-        input_lengths[i] = len(t)
-        T = m.shape[1]
-        mel[i, :, :T] = m
-        gate[i, T - 1 :] = 1.0  # data_utils.py:133
-        output_lengths[i] = T
 
     return Batch(text, input_lengths, mel, gate, output_lengths, speakers, emotions)
 

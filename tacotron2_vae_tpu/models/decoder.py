@@ -219,7 +219,7 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
 
 def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
           dtype=None, prenet_dropout_enabled: bool = True,
-          memory_lengths=None):
+          memory_lengths=None, use_pallas: bool | None = None):
     """Autoregressive inference (reference ``Decoder.inference``,
     model.py:428-464) as a bounded while_loop with gate early exit.
 
@@ -231,6 +231,24 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
     n_mel = hp.n_mel_channels
     max_steps = max_steps or hp.max_decoder_steps
     gate_threshold = gate_threshold or hp.gate_threshold
+
+    if use_pallas is None:
+        use_pallas = B == 1 and jax.default_backend() == "tpu"
+    if use_pallas and B == 1:
+        from ..ops.pallas import decoder_loop as _dl
+
+        kw = _dl.prepare_weights(params, dtype=dtype or jnp.float32)
+        pmem = linear(params["attention"]["memory"], memory)
+        mask = None
+        if memory_lengths is not None:
+            mask = jnp.arange(S)[None, :] < memory_lengths[:, None]
+        seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1)
+        return _dl.decode_loop(
+            kw, memory, pmem, mask,
+            max_steps=max_steps, gate_threshold=float(gate_threshold),
+            seed=seed, dropout_on=prenet_dropout_enabled,
+            dtype_name=jnp.dtype(dtype or jnp.float32).name,
+        )
 
     processed_memory = linear(params["attention"]["memory"], memory, dtype=dtype)
     mask = None

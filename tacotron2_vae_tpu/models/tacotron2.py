@@ -143,6 +143,7 @@ def infer(
     max_steps: int | None = None,
     gate_threshold: float | None = None,
     prenet_dropout_enabled: bool = True,
+    use_pallas: bool | None = None,
 ):
     """Autoregressive synthesis from token ids + a style embedding.
 
@@ -165,7 +166,7 @@ def infer(
     mel, gate, align, lengths = decoder_mod.infer(
         params["decoder"], memory, hp, rng=r_dec,
         max_steps=max_steps, gate_threshold=gate_threshold, dtype=dtype,
-        prenet_dropout_enabled=prenet_dropout_enabled,
+        prenet_dropout_enabled=prenet_dropout_enabled, use_pallas=use_pallas,
     )
     residual, _ = postnet_mod.apply(
         params["postnet"], state["postnet"], mel, train=False, rng=r_post,

@@ -1,0 +1,92 @@
+"""Pallas fused decode-loop kernel: interpret-mode parity vs the XLA path.
+
+The same kernel is compiled for real on TPU (exercised by bench.py and the
+serving path); on CPU CI it runs through the Pallas interpreter.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_vae_tpu.config import create_hparams
+from tacotron2_vae_tpu.models import decoder as dec
+from tacotron2_vae_tpu.ops.layers import linear
+from tacotron2_vae_tpu.ops.pallas import decoder_loop as dl
+
+TINY = (
+    "symbols_embedding_dim=64,encoder_embedding_dim=64,attention_rnn_dim=64,"
+    "decoder_rnn_dim=64,prenet_dim=32,attention_dim=32,postnet_embedding_dim=64,"
+    "E=64,ref_enc_gru_size=32,z_latent_dim=8,ref_enc_filters=[2,2,4,4,8,8],"
+    "attention_location_n_filters=8,compute_dtype='float32'"
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    hp = create_hparams(TINY)
+    params = dec.init(jax.random.PRNGKey(0), hp)
+    rng = np.random.RandomState(0)
+    S = 16
+    memory = jnp.asarray(
+        rng.randn(1, S, hp.encoder_embedding_dim).astype(np.float32) * 0.3
+    )
+    pmem = linear(params["attention"]["memory"], memory)
+    return hp, params, memory, pmem
+
+
+def test_kernel_matches_xla_path(setup):
+    hp, params, memory, pmem = setup
+    mel_x, gate_x, align_x, len_x = dec.infer(
+        params, memory, hp, rng=jax.random.PRNGKey(0), max_steps=20,
+        gate_threshold=1.1, dtype=None, prenet_dropout_enabled=False,
+        use_pallas=False,
+    )
+    kw = dl.prepare_weights(params, dtype=jnp.float32)
+    mel_p, gate_p, align_p, len_p = dl.decode_loop(
+        kw, memory, pmem, None, max_steps=20, gate_threshold=1.1,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32",
+    )
+    assert int(len_p[0]) == int(len_x[0])
+    np.testing.assert_allclose(np.asarray(mel_p), np.asarray(mel_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gate_p), np.asarray(gate_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(align_p), np.asarray(align_x), atol=1e-5)
+
+
+def test_kernel_respects_memory_mask(setup):
+    hp, params, memory, pmem = setup
+    S = memory.shape[1]
+    lengths = jnp.asarray([S - 6])
+    mask = jnp.arange(S)[None, :] < lengths[:, None]
+    kw = dl.prepare_weights(params, dtype=jnp.float32)
+    _, _, align, _ = dl.decode_loop(
+        kw, memory, pmem, mask, max_steps=8, gate_threshold=1.1,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32",
+    )
+    align = np.asarray(align)[0]
+    assert np.all(align[:, S - 6 :] < 1e-6)
+    np.testing.assert_allclose(align.sum(-1), 1.0, atol=1e-5)
+
+
+def test_kernel_gate_early_exit(setup):
+    hp, params, memory, pmem = setup
+    kw = dl.prepare_weights(params, dtype=jnp.float32)
+    # threshold -1 => sigmoid always above => stops after the first frame
+    mel, gate, align, lengths = dl.decode_loop(
+        kw, memory, pmem, None, max_steps=20, gate_threshold=-1.0,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32",
+    )
+    assert int(lengths[0]) == 1
+    # frames beyond the stop step stay zero
+    assert np.all(np.asarray(mel)[0, :, 1:] == 0.0)
+
+
+def test_prepared_weights_shapes(setup):
+    hp, params, *_ = setup
+    kw = dl.prepare_weights(params)
+    H = hp.attention_rnn_dim
+    assert kw["attn_w"].shape == (hp.prenet_dim + hp.encoder_embedding_dim + H, 4 * H)
+    assert kw["proj_gate_w"].shape == (
+        hp.decoder_rnn_dim + hp.encoder_embedding_dim, hp.n_mel_channels + 1
+    )
+    assert kw["loc_patch_w"].shape == (62, hp.attention_location_n_filters)
