@@ -38,6 +38,7 @@ def main():
         make_train_step,
     )
 
+    t_start = time.perf_counter()
     # Flagship config, reference-recommended batch size (README.md:53).
     B, S, T = 6, 128, 512
     hp = create_hparams("batch_size=6")
@@ -108,10 +109,16 @@ def main():
     n_frames = 600  # buffer length (upper bound on generated frames)
     audio_secs = n_frames * hp.hop_length / hp.sampling_rate  # 9.6 s
     rtf_xla = time_synth(False) / audio_secs
-    try:
-        rtf = time_synth(True) / audio_secs  # fused Pallas decode loop
-    except Exception:
-        rtf = rtf_xla
+    # The fused Pallas kernel compiles slowly through the remote-TPU tunnel
+    # on a cold cache; skip it if the soft budget is already spent (the JSON
+    # line must be printed before any external timeout).
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    rtf = rtf_xla
+    if time.perf_counter() - t_start < budget:
+        try:
+            rtf = time_synth(True) / audio_secs  # fused Pallas decode loop
+        except Exception:
+            rtf = rtf_xla
 
     print(
         json.dumps(
