@@ -1,0 +1,450 @@
+"""Hand-written BPTT for the teacher-forced decoder scan (custom VJP).
+
+Why: jax.grad of the decoder `lax.scan` spends ~2.5x the forward time in the
+backward pass.  The structural waste is the per-step dW handling — every scan
+step touches weight-gradient accumulators.  This module restructures the
+backward so that
+
+  * the reverse-time scan carries ONLY activation gradients (the sequential
+    part streams exactly the same weight bytes as the forward: dx = dg @ W^T);
+  * per-step LSTM gate gradients are stacked and the weight gradients become
+    TWO large MXU matmuls after the scan:  dW = X_cat^T @ dGates  over the
+    flattened (T*B) axis (the classic "RNN backward as one big matmul");
+  * attention intermediates (location conv, energies) are recomputed in the
+    backward from tiny saved residuals instead of being stored;
+  * dropout masks are regenerated from the same fold_in keys, not stored.
+
+Numerical contract: identical outputs and gradients to autodiff of the same
+forward (verified in tests/test_bptt.py), which itself matches
+``decoder.teacher_forced`` step math (reference model.py:346-426).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LOC_PAD = None  # set per-call from kernel width
+
+
+class ScanConfig(NamedTuple):
+    n_half_keep_att: float  # 1 - p_attention_dropout
+    n_half_keep_dec: float  # 1 - p_decoder_dropout
+    train: bool
+    compute_dtype: str = "float32"  # dtype for the big recurrent matmuls
+
+
+def _cdot(a, b, cfg):
+    """Matmul in cfg.compute_dtype with fp32 accumulation."""
+    if cfg.compute_dtype != "float32":
+        dt = jnp.dtype(cfg.compute_dtype)
+        a, b = a.astype(dt), b.astype(dt)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _split_gates(g, H):
+    return g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
+
+
+def _lstm_fwd(g, c_prev, H):
+    """Pre-activation gates + previous cell -> (h, c, residual acts)."""
+    gi, gf, gg, go = _split_gates(g, H)
+    i = jax.nn.sigmoid(gi)
+    f = jax.nn.sigmoid(gf)
+    gg = jnp.tanh(gg)
+    o = jax.nn.sigmoid(go)
+    c = f * c_prev + i * gg
+    h = o * jnp.tanh(c)
+    return h, c
+
+
+def _lstm_bwd(g, c_prev, c, dh, dc, H):
+    """Backward through one LSTM cell given pre-activation gates."""
+    gi, gf, gg, go = _split_gates(g, H)
+    i = jax.nn.sigmoid(gi)
+    f = jax.nn.sigmoid(gf)
+    gt = jnp.tanh(gg)
+    o = jax.nn.sigmoid(go)
+    tc = jnp.tanh(c)
+    do = dh * tc
+    dc_total = dc + dh * o * (1.0 - tc * tc)
+    di = dc_total * gt
+    df = dc_total * c_prev
+    dgt = dc_total * i
+    dc_prev = dc_total * f
+    dgates = jnp.concatenate(
+        [di * i * (1 - i), df * f * (1 - f), dgt * (1 - gt * gt),
+         do * o * (1 - o)],
+        axis=-1,
+    )
+    return dgates, dc_prev
+
+
+def _dropout_mask(key, shape, keep):
+    return jax.random.bernoulli(key, keep, shape).astype(jnp.float32) / keep
+
+
+def _loc_conv(w_prev, w_cum, loc_w):
+    """Location conv: (B,S) x2 -> (B, S, F).  loc_w: (K, 2, F)."""
+    feats = jnp.stack([w_prev, w_cum], axis=-1)  # (B, S, 2)
+    K = loc_w.shape[0]
+    pad = (K - 1) // 2
+    return jax.lax.conv_general_dilated(
+        feats, loc_w, (1,), [(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def _loc_conv_input_grad(dloc, loc_w):
+    """Gradient of _loc_conv wrt its (B, S, 2) input: transposed conv."""
+    K = loc_w.shape[0]
+    pad = (K - 1) // 2
+    w_flip = jnp.flip(loc_w, axis=0).swapaxes(1, 2)  # (K, F, 2)
+    return jax.lax.conv_general_dilated(
+        dloc, w_flip, (1,), [(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+
+
+def _loc_conv_weight_grad(w_prev, w_cum, dloc, K):
+    """Gradient wrt loc_w: correlation of inputs with dloc -> (K, 2, F)."""
+    feats = jnp.stack([w_prev, w_cum], axis=-1)  # (B, S, 2)
+    pad = (K - 1) // 2
+    # dW[k, c, f] = sum_{b,s} feats[b, s + k - pad, c] * dloc[b, s, f]
+    # = conv with feats as lhs (C=batch?) — use dot over shifted slices:
+    B, S, _ = feats.shape
+    fp = jnp.pad(feats, ((0, 0), (pad, pad), (0, 0)))
+    slices = [
+        jax.lax.dynamic_slice_in_dim(fp, k, S, axis=1) for k in range(K)
+    ]  # K x (B, S, 2)
+    stacked = jnp.stack(slices, axis=0)  # (K, B, S, 2)
+    return jnp.einsum(
+        "kbsc,bsf->kcf", stacked, dloc, preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# The custom-VJP scan core
+# ---------------------------------------------------------------------------
+#
+# scan_params pytree:
+#   attn_w  (P+E+H, 4H)   fused input+hidden weights, attention LSTM
+#   attn_b  (4H,)
+#   dec_w   (H+E+H, 4H)   fused, decoder LSTM
+#   dec_b   (4H,)
+#   query_w (H, A)
+#   loc_w   (K, 2, F)
+#   loc_dense_w (F, A)
+#   v_w     (A, 1)
+#
+# inputs:
+#   prenet_seq (T, B, P), memory (B, S, E), pmem (B, S, A),
+#   add_mask (B, S) additive (0 / -inf), keys (T, 2) uint32
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6,))
+def scan_core(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
+    ys, _ = _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg)
+    return ys
+
+
+def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
+    T, B, P = prenet_seq.shape
+    S, E = memory.shape[1], memory.shape[2]
+    H = scan_params["attn_w"].shape[1] // 4
+
+    def step(carry, inp):
+        h_att, c_att, h_dec, c_dec, w_prev, w_cum, ctx = carry
+        pn_t, key_t = inp
+        k1, k2, k3, k4 = jax.random.split(key_t, 4)
+
+        x_att = jnp.concatenate([pn_t, ctx, h_att], axis=-1)
+        g_att = _cdot(x_att, scan_params["attn_w"], cfg) + scan_params["attn_b"]
+        h_att_new, c_att_new = _lstm_fwd(g_att, c_att, H)
+        if cfg.train and cfg.n_half_keep_att < 1.0:
+            h_att_new = h_att_new * _dropout_mask(
+                k1, h_att_new.shape, cfg.n_half_keep_att)
+            c_att_new = c_att_new * _dropout_mask(
+                k2, c_att_new.shape, cfg.n_half_keep_att)
+
+        loc = _loc_conv(w_prev, w_cum, scan_params["loc_w"])  # (B,S,F)
+        locd = jnp.dot(loc, scan_params["loc_dense_w"],
+                       preferred_element_type=jnp.float32)  # (B,S,A)
+        q = jnp.dot(h_att_new, scan_params["query_w"],
+                    preferred_element_type=jnp.float32)  # (B,A)
+        tanh_arg = jnp.tanh(q[:, None, :] + locd + pmem)
+        e = jnp.dot(tanh_arg, scan_params["v_w"],
+                    preferred_element_type=jnp.float32)[..., 0]  # (B,S)
+        e = e + add_mask
+        w = jax.nn.softmax(e, axis=1)
+        ctx_new = jnp.einsum("bs,bse->be", w, memory,
+                             preferred_element_type=jnp.float32)
+        w_cum_new = w_cum + w
+
+        x_dec = jnp.concatenate([h_att_new, ctx_new, h_dec], axis=-1)
+        g_dec = _cdot(x_dec, scan_params["dec_w"], cfg) + scan_params["dec_b"]
+        h_dec_new, c_dec_new = _lstm_fwd(g_dec, c_dec, H)
+        if cfg.train and cfg.n_half_keep_dec < 1.0:
+            h_dec_new = h_dec_new * _dropout_mask(
+                k3, h_dec_new.shape, cfg.n_half_keep_dec)
+            c_dec_new = c_dec_new * _dropout_mask(
+                k4, c_dec_new.shape, cfg.n_half_keep_dec)
+
+        new_carry = (h_att_new, c_att_new, h_dec_new, c_dec_new,
+                     w, w_cum_new, ctx_new)
+        # tanh_arg and loc are saved (cheap HBM traffic) so the backward
+        # pass never re-runs the attention forward.
+        resid = (g_att, g_dec, c_att, c_dec, h_att_new, tanh_arg, loc)
+        return new_carry, ((h_dec_new, ctx_new, w), resid)
+
+    z = lambda *s: jnp.zeros(s, jnp.float32)
+    init = (z(B, H), z(B, H), z(B, H), z(B, H), z(B, S), z(B, S), z(B, E))
+    _, (ys, resids) = jax.lax.scan(step, init, (prenet_seq, keys))
+    return ys, resids
+
+
+def _fwd_rule(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
+    ys, resids = _fwd_impl(
+        scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+    )
+    saved = (scan_params, prenet_seq, memory, pmem, add_mask, keys, ys, resids)
+    return ys, saved
+
+
+def _bwd_rule(cfg, saved, dys):
+    (scan_params, prenet_seq, memory, pmem, add_mask, keys, ys, resids) = saved
+    dh_dec_seq, dctx_seq, dw_seq = dys
+    h_dec_seq, ctx_seq, w_seq = ys
+    (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq, h_att_seq,
+     tanh_arg_seq, loc_seq) = resids
+
+    T, B, P = prenet_seq.shape
+    S, E = memory.shape[1], memory.shape[2]
+    H = scan_params["attn_w"].shape[1] // 4
+    A = scan_params["query_w"].shape[1]
+    K = scan_params["loc_w"].shape[0]
+
+    # Reconstruct per-step (w_prev, w_cum_prev, ctx_prev, h_prev) sequences.
+    zrow = jnp.zeros((1, B, S), jnp.float32)
+    w_prev_seq = jnp.concatenate([zrow, w_seq[:-1]], axis=0)
+    w_cum_seq = jnp.cumsum(w_seq, axis=0)
+    w_cum_prev_seq = jnp.concatenate([zrow, w_cum_seq[:-1]], axis=0)
+    zctx = jnp.zeros((1, B, E), jnp.float32)
+    ctx_prev_seq = jnp.concatenate([zctx, ctx_seq[:-1]], axis=0)
+    zh = jnp.zeros((1, B, H), jnp.float32)
+    h_att_prev_seq = jnp.concatenate([zh, h_att_seq[:-1]], axis=0)
+    h_dec_prev_seq = jnp.concatenate([zh, h_dec_seq[:-1]], axis=0)
+
+    def step(carry, inp):
+        (dh_att_c, dc_att_c, dh_dec_c, dc_dec_c, dw_prev_c, dwcum_c,
+         dctx_c) = carry
+        (dh_dec_out, dctx_out, dw_out, g_att, g_dec, c_att_prev, c_dec_prev,
+         h_att_d, w_prev, w_cum_prev, ctx_prev, h_dec_prev, w_t, key_t,
+         tanh_arg, loc) = inp
+
+        k1, k2, k3, k4 = jax.random.split(key_t, 4)
+        w_cum = w_cum_prev + w_t
+
+        # ---- decoder LSTM backward ----
+        dh_dec_d = dh_dec_out + dh_dec_c
+        dc_dec_d = dc_dec_c
+        if cfg.train and cfg.n_half_keep_dec < 1.0:
+            m3 = _dropout_mask(k3, (B, H), cfg.n_half_keep_dec)
+            m4 = _dropout_mask(k4, (B, H), cfg.n_half_keep_dec)
+            dh_dec = dh_dec_d * m3
+            dc_dec = dc_dec_d * m4
+        else:
+            dh_dec, dc_dec = dh_dec_d, dc_dec_d
+        # recompute c_dec (pre-dropout) for the o-gate term
+        gi, gf, gg, _ = _split_gates(g_dec, H)
+        c_dec = (jax.nn.sigmoid(gf) * c_dec_prev
+                 + jax.nn.sigmoid(gi) * jnp.tanh(gg))
+        dg_dec, dc_dec_prev = _lstm_bwd(g_dec, c_dec_prev, c_dec,
+                                        dh_dec, dc_dec, H)
+        dx_dec = _cdot(dg_dec, scan_params["dec_w"].T, cfg)
+        dh_att_d = dx_dec[:, :H] + dh_att_c
+        dctx = dx_dec[:, H:H + E] + dctx_out + dctx_c
+        dh_dec_prev = dx_dec[:, H + E:]
+
+        # ---- attention backward ----
+        # context = w @ memory
+        dw = (dw_out + dw_prev_c + dwcum_c
+              + jnp.einsum("be,bse->bs", dctx, memory,
+                           preferred_element_type=jnp.float32))
+        dwcum_new = dwcum_c  # passes through w_cum recurrence (see below)
+
+        # softmax backward
+        dsum = jnp.sum(dw * w_t, axis=1, keepdims=True)
+        de = w_t * (dw - dsum)  # (B, S)
+
+        dtanh = (de[:, :, None] * scan_params["v_w"][None, None, :, 0]
+                 ) * (1.0 - tanh_arg * tanh_arg)  # (B,S,A)
+        dq = jnp.sum(dtanh, axis=1)  # (B, A)
+        dh_att_d = dh_att_d + jnp.dot(dq, scan_params["query_w"].T,
+                                      preferred_element_type=jnp.float32)
+        dloc = jnp.dot(dtanh, scan_params["loc_dense_w"].T,
+                       preferred_element_type=jnp.float32)  # (B,S,F)
+        dfeats = _loc_conv_input_grad(dloc, scan_params["loc_w"])  # (B,S,2)
+        dw_prev_new = dfeats[..., 0]
+        dwcum_prev_ch = dfeats[..., 1]
+        # w_cum_prev feeds both the conv (channel grad) and w_cum recurrence
+        dwcum_prev = dwcum_prev_ch + dwcum_new
+
+        # ---- attention LSTM backward ----
+        if cfg.train and cfg.n_half_keep_att < 1.0:
+            m1 = _dropout_mask(k1, (B, H), cfg.n_half_keep_att)
+            m2 = _dropout_mask(k2, (B, H), cfg.n_half_keep_att)
+            dh_att = dh_att_d * m1
+            dc_att = dc_att_c * m2
+        else:
+            dh_att, dc_att = dh_att_d, dc_att_c
+        gi, gf, gg, _ = _split_gates(g_att, H)
+        c_att = (jax.nn.sigmoid(gf) * c_att_prev
+                 + jax.nn.sigmoid(gi) * jnp.tanh(gg))
+        dg_att, dc_att_prev = _lstm_bwd(g_att, c_att_prev, c_att,
+                                        dh_att, dc_att, H)
+        dx_att = _cdot(dg_att, scan_params["attn_w"].T, cfg)
+        dpn = dx_att[:, :P]
+        dctx_prev = dx_att[:, P:P + E]
+        dh_att_prev = dx_att[:, P + E:]
+
+        new_carry = (dh_att_prev, dc_att_prev, dh_dec_prev, dc_dec_prev,
+                     dw_prev_new, dwcum_prev, dctx_prev)
+        outs = (dg_att, dg_dec, dpn, dctx, de, dq, dtanh, dloc)
+        return new_carry, outs
+
+    zmat = lambda *s: jnp.zeros(s, jnp.float32)
+    carry0 = (
+        zmat(B, H), zmat(B, H), zmat(B, H), zmat(B, H),
+        zmat(B, S), zmat(B, S), zmat(B, E),
+    )
+    xs = (dh_dec_seq, dctx_seq, dw_seq, g_att_seq, g_dec_seq,
+          c_att_prev_seq, c_dec_prev_seq, h_att_seq, w_prev_seq,
+          w_cum_prev_seq, ctx_prev_seq, h_dec_prev_seq, w_seq, keys,
+          tanh_arg_seq, loc_seq)
+    final, (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
+            de_seq, dq_seq, dtanh_seq, dloc_seq) = jax.lax.scan(
+        step, carry0, xs, reverse=True
+    )
+
+    # ---- batched attention weight gradients (outside the scan) ----
+    dv = jnp.einsum("tbsa,tbs->a", tanh_arg_seq, de_seq,
+                    preferred_element_type=jnp.float32)[:, None]
+    dWq = jnp.einsum("tbh,tba->ha", h_att_seq, dq_seq,
+                     preferred_element_type=jnp.float32)
+    dWld = jnp.einsum("tbsf,tbsa->fa", loc_seq, dtanh_seq,
+                      preferred_element_type=jnp.float32)
+    dpmem = jnp.sum(dtanh_seq, axis=0)
+    # conv weight grad over the flattened (T*B) batch
+    dWloc = _loc_conv_weight_grad(
+        w_prev_seq.reshape(T * B, S), w_cum_prev_seq.reshape(T * B, S),
+        dloc_seq.reshape(T * B, S, -1), K,
+    )
+
+    # ---- batched weight gradients: two big MXU matmuls ----
+    x_att_seq = jnp.concatenate(
+        [prenet_seq, ctx_prev_seq, h_att_prev_seq], axis=-1
+    ).reshape(T * B, -1)
+    d_attn_w = _cdot(x_att_seq.T, dg_att_seq.reshape(T * B, -1), cfg)
+    d_attn_b = jnp.sum(dg_att_seq, axis=(0, 1))
+    x_dec_seq = jnp.concatenate(
+        [h_att_seq, ctx_seq, h_dec_prev_seq], axis=-1
+    ).reshape(T * B, -1)
+    d_dec_w = _cdot(x_dec_seq.T, dg_dec_seq.reshape(T * B, -1), cfg)
+    d_dec_b = jnp.sum(dg_dec_seq, axis=(0, 1))
+
+    # memory cotangent: from context matmuls (one einsum over all steps)
+    dmemory = jnp.einsum("tbs,tbe->bse", w_seq, dctx_tot_seq,
+                         preferred_element_type=jnp.float32)
+
+    d_scan_params = {
+        "attn_w": d_attn_w, "attn_b": d_attn_b,
+        "dec_w": d_dec_w, "dec_b": d_dec_b,
+        "query_w": dWq, "loc_w": dWloc, "loc_dense_w": dWld, "v_w": dv,
+    }
+    d_add_mask = jnp.zeros_like(add_mask)  # mask derives from int lengths
+    d_keys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
+    return (d_scan_params, dpn_seq, dmemory, dpmem, d_add_mask, d_keys)
+
+
+scan_core.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Drop-in teacher-forced decoder using the custom-VJP core
+# ---------------------------------------------------------------------------
+
+
+def teacher_forced(params, memory, mels, memory_lengths, hp, *,
+                   train: bool, rng, dtype=None,
+                   prenet_dropout_enabled: bool = True):
+    """API-compatible with decoder.teacher_forced, using hand-written BPTT.
+
+    `dtype` selects the compute dtype for the recurrent matmuls in BOTH
+    directions (fp32 accumulation always).
+    """
+    from .decoder import prenet as prenet_fn
+    from ..ops.layers import linear
+
+    B, S, E = memory.shape
+    T = mels.shape[2]
+    n_mel = hp.n_mel_channels
+
+    frames = jnp.swapaxes(mels, 1, 2)
+    decoder_inputs = jnp.concatenate(
+        [jnp.zeros((B, 1, n_mel), frames.dtype), frames[:, :-1]], axis=1
+    )
+    rng, pk = jax.random.split(rng)
+    prenet_out = prenet_fn(
+        params["prenet"], decoder_inputs, pk,
+        dropout_enabled=prenet_dropout_enabled, dtype=dtype,
+    )
+    prenet_seq = jnp.swapaxes(prenet_out, 0, 1)  # (T, B, P)
+
+    pmem = linear(params["attention"]["memory"], memory)  # (B, S, A)
+    if memory_lengths is not None:
+        valid = jnp.arange(S)[None, :] < memory_lengths[:, None]
+        add_mask = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+    else:
+        add_mask = jnp.zeros((B, S), jnp.float32)
+
+    keys = jax.random.split(rng, T)
+
+    scan_params = {
+        "attn_w": jnp.concatenate(
+            [params["attention_rnn"]["wi"], params["attention_rnn"]["wh"]],
+            axis=0,
+        ),
+        "attn_b": params["attention_rnn"]["bi"] + params["attention_rnn"]["bh"],
+        "dec_w": jnp.concatenate(
+            [params["decoder_rnn"]["wi"], params["decoder_rnn"]["wh"]], axis=0
+        ),
+        "dec_b": params["decoder_rnn"]["bi"] + params["decoder_rnn"]["bh"],
+        "query_w": params["attention"]["query"]["w"],
+        "loc_w": params["attention"]["loc_conv"]["w"],
+        "loc_dense_w": params["attention"]["loc_dense"]["w"],
+        "v_w": params["attention"]["v"]["w"],
+    }
+    cfg = ScanConfig(
+        n_half_keep_att=1.0 - hp.p_attention_dropout,
+        n_half_keep_dec=1.0 - hp.p_decoder_dropout,
+        train=train,
+        compute_dtype=jnp.dtype(dtype).name if dtype is not None else "float32",
+    )
+    h_dec_seq, ctx_seq, w_seq = scan_core(
+        scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+    )
+
+    hidden_ctx = jnp.concatenate([h_dec_seq, ctx_seq], axis=-1)  # (T, B, ·)
+    mel_out = linear(params["proj"], hidden_ctx, dtype=dtype)
+    gate_out = linear(params["gate"], hidden_ctx, dtype=dtype)[..., 0]
+
+    return (
+        jnp.transpose(mel_out, (1, 2, 0)),
+        jnp.swapaxes(gate_out, 0, 1),
+        jnp.swapaxes(w_seq, 0, 1),
+    )

@@ -106,11 +106,24 @@ def forward(
     )
     memory = transcript + prosody[:, None, :]  # broadcast add (model.py:535-537)
 
-    mel_outputs, gate_outputs, alignments = decoder_mod.teacher_forced(
-        params["decoder"], memory, batch["mel"], batch["input_lengths"], hp,
-        train=train, rng=r_dec, dtype=dtype,
-        prenet_dropout_enabled=prenet_dropout_enabled,
+    scan_dtype = (
+        None if hp.decoder_scan_dtype == "float32"
+        else jnp.dtype(hp.decoder_scan_dtype)
     )
+    if hp.use_custom_bptt:
+        from . import decoder_bptt
+
+        mel_outputs, gate_outputs, alignments = decoder_bptt.teacher_forced(
+            params["decoder"], memory, batch["mel"], batch["input_lengths"],
+            hp, train=train, rng=r_dec, dtype=scan_dtype,
+            prenet_dropout_enabled=prenet_dropout_enabled,
+        )
+    else:
+        mel_outputs, gate_outputs, alignments = decoder_mod.teacher_forced(
+            params["decoder"], memory, batch["mel"], batch["input_lengths"],
+            hp, train=train, rng=r_dec, dtype=dtype,
+            prenet_dropout_enabled=prenet_dropout_enabled,
+        )
 
     residual, post_state = postnet_mod.apply(
         params["postnet"], state["postnet"], mel_outputs,

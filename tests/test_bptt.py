@@ -1,0 +1,125 @@
+"""Hand-written BPTT (models/decoder_bptt.py) vs autodiff: exact gradient
+equality on the same forward, plus parity with decoder.teacher_forced."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tacotron2_vae_tpu.config import create_hparams
+from tacotron2_vae_tpu.models import decoder as dec
+from tacotron2_vae_tpu.models import decoder_bptt as bptt
+
+TINY = (
+    "symbols_embedding_dim=24,encoder_embedding_dim=24,attention_rnn_dim=16,"
+    "decoder_rnn_dim=16,prenet_dim=8,attention_dim=12,"
+    "attention_location_n_filters=4,attention_location_kernel_size=7,"
+    "compute_dtype='float32'"
+)
+
+
+def _setup(train, B=2, S=9, T=11, K=7):
+    hp = create_hparams(TINY)
+    rng = np.random.RandomState(0)
+    P, H, E, A, F = 8, 16, 24, 12, 4
+    r = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+    scan_params = {
+        "attn_w": r(P + E + H, 4 * H),
+        "attn_b": r(4 * H),
+        "dec_w": r(H + E + H, 4 * H),
+        "dec_b": r(4 * H),
+        "query_w": r(H, A),
+        "loc_w": r(K, 2, F),
+        "loc_dense_w": r(F, A),
+        "v_w": r(A, 1),
+    }
+    prenet_seq = r(T, B, P)
+    memory = r(B, S, E)
+    pmem = r(B, S, A)
+    lengths = jnp.asarray([S, S - 3])
+    valid = jnp.arange(S)[None, :] < lengths[:, None]
+    add_mask = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
+    keys = jax.random.split(jax.random.PRNGKey(3), T)
+    cfg = bptt.ScanConfig(0.9, 0.9, train)
+    return scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_custom_vjp_matches_autodiff(train):
+    scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg = _setup(train)
+
+    def loss_custom(scan_params, prenet_seq, memory, pmem):
+        h, c, w = bptt.scan_core(
+            scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+        )
+        return (jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3))
+
+    def loss_auto(scan_params, prenet_seq, memory, pmem):
+        (h, c, w), _ = bptt._fwd_impl(
+            scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+        )
+        return (jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3))
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    v1, g1 = jax.value_and_grad(loss_custom, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(loss_auto, argnums=(0, 1, 2, 3))(*args)
+    assert abs(float(v1) - float(v2)) < 1e-5
+
+    flat1, tree1 = jax.tree_util.tree_flatten(g1)
+    flat2, tree2 = jax.tree_util.tree_flatten(g2)
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4
+        )
+
+
+def test_teacher_forced_bptt_matches_reference_path():
+    """Forward outputs of the BPTT path equal decoder.teacher_forced
+    (dropout off; fp32)."""
+    hp = create_hparams(TINY)
+    params = dec.init(jax.random.PRNGKey(0), hp)
+    rng = np.random.RandomState(1)
+    B, S, T = 2, 9, 12
+    memory = jnp.asarray(rng.randn(B, S, hp.encoder_embedding_dim)
+                         .astype(np.float32) * 0.3)
+    mels = jnp.asarray(rng.randn(B, hp.n_mel_channels, T).astype(np.float32))
+    lengths = jnp.asarray([S, S - 2])
+
+    hp_nodrop = hp.replace(p_attention_dropout=0.0, p_decoder_dropout=0.0)
+    mel_a, gate_a, align_a = dec.teacher_forced(
+        params, memory, mels, lengths, hp_nodrop, train=False,
+        rng=jax.random.PRNGKey(5), dtype=None, prenet_dropout_enabled=False,
+    )
+    mel_b, gate_b, align_b = bptt.teacher_forced(
+        params, memory, mels, lengths, hp_nodrop, train=False,
+        rng=jax.random.PRNGKey(5), dtype=None, prenet_dropout_enabled=False,
+    )
+    np.testing.assert_allclose(np.asarray(mel_b), np.asarray(mel_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gate_b), np.asarray(gate_a), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(align_b), np.asarray(align_a), atol=1e-5)
+
+
+def test_bptt_grads_flow_in_train_mode():
+    hp = create_hparams(TINY)
+    params = dec.init(jax.random.PRNGKey(0), hp)
+    rng = np.random.RandomState(1)
+    B, S, T = 2, 9, 12
+    memory = jnp.asarray(rng.randn(B, S, hp.encoder_embedding_dim)
+                         .astype(np.float32) * 0.3)
+    mels = jnp.asarray(rng.randn(B, hp.n_mel_channels, T).astype(np.float32))
+    lengths = jnp.asarray([S, S - 2])
+
+    def loss(params):
+        mel, gate, align = bptt.teacher_forced(
+            params, memory, mels, lengths, hp, train=True,
+            rng=jax.random.PRNGKey(7), dtype=None,
+        )
+        return jnp.mean((mel - mels) ** 2) + jnp.mean(gate ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # recurrent weights receive gradient
+    assert not np.allclose(np.asarray(grads["attention_rnn"]["wi"]), 0.0)
+    assert not np.allclose(np.asarray(grads["attention"]["loc_conv"]["w"]), 0.0)
