@@ -79,6 +79,33 @@ def main():
     dt = (time.perf_counter() - t0) / n_iters
     frames_per_sec = B * T / dt
 
+    # Secondary: throughput at the hparams-default batch size (64) — the
+    # realistic TPU training configuration (B=6 is the reference's command).
+    B2 = 64
+    batch64 = {
+        "text": jax.numpy.asarray(
+            rng.randint(2, hp.n_symbols, size=(B2, S)).astype(np.int32)),
+        "input_lengths": jax.numpy.full((B2,), S, jax.numpy.int32),
+        "mel": jax.numpy.asarray(
+            (rng.randn(B2, hp.n_mel_channels, T) * 0.3).astype(np.float32)),
+        "gate": jax.numpy.asarray(np.pad(
+            np.zeros((B2, T - 1), np.float32), ((0, 0), (0, 1)),
+            constant_values=1.0)),
+        "output_lengths": jax.numpy.full((B2,), T, jax.numpy.int32),
+        "emotions": jax.numpy.asarray(np.eye(hp.n_emotions, dtype=np.float32)[
+            rng.randint(0, hp.n_emotions, size=B2)]),
+    }
+    ts64 = create_train_state(jax.random.PRNGKey(0), hp)
+    ts64, m64 = step(ts64, batch64, jax.random.PRNGKey(0))
+    float(m64["loss"])
+    t0 = time.perf_counter()
+    for i in range(8):
+        ts64, m64 = step(ts64, batch64, jax.random.PRNGKey(i))
+    float(m64["loss"])
+    dt64 = (time.perf_counter() - t0) / 8
+    frames_per_sec_b64 = B2 * T / dt64
+    del ts64, batch64
+
     # Secondary: autoregressive inference RTF (mel frames vs realtime audio).
     params, state = ts.params, ts.model_state
     text = jax.numpy.asarray(
@@ -130,6 +157,7 @@ def main():
                 "train_step_ms": round(dt * 1e3, 2),
                 "batch": B,
                 "mel_frames": T,
+                "frames_per_sec_batch64": round(frames_per_sec_b64, 1),
                 "inference_rtf_600_frames": round(rtf, 4),
                 "inference_rtf_xla_while_loop": round(rtf_xla, 4),
                 "device": str(jax.devices()[0]),
