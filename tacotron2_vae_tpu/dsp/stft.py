@@ -97,18 +97,23 @@ class TacotronSTFT:
         sampling_rate: int = 22050,
         mel_fmin: float = 0.0,
         mel_fmax: float = 8000.0,
+        use_pallas: bool | None = None,
     ):
         self.filter_length = filter_length
         self.hop_length = hop_length
         self.win_length = win_length
         self.n_mel_channels = n_mel_channels
         self.sampling_rate = sampling_rate
+        self.mel_fmax = mel_fmax
         self.mel_basis = jnp.asarray(
             mel_filterbank(
                 sampling_rate, filter_length, n_mel_channels, mel_fmin, mel_fmax
             )
         )
         self._mel_fn = jax.jit(self._mel_impl)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
 
     def _mel_impl(self, y: jnp.ndarray) -> jnp.ndarray:
         mag = stft_magnitude(
@@ -131,4 +136,11 @@ class TacotronSTFT:
         y = jnp.asarray(y)
         if y.ndim == 1:
             y = y[None]
+        if self.use_pallas and y.shape[0] == 1:
+            from ..ops.pallas.stft_mel import mel_spectrogram_pallas
+
+            return mel_spectrogram_pallas(
+                y, self.filter_length, self.hop_length, self.win_length,
+                self.n_mel_channels, self.sampling_rate, self.mel_fmax,
+            )
         return self._mel_fn(y)
