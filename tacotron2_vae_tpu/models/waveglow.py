@@ -96,10 +96,15 @@ def init(key, cfg: WaveGlowConfig = WaveGlowConfig()):
     return {"upsample": upsample, "flows": flows}
 
 
-def _conv1d(p, x, dilation=1):
-    pad = (p["w"].shape[0] - 1) * dilation // 2
+def _conv1d(p, x, dilation=1, dtype=None):
+    w = p["w"]
+    if dtype is not None:
+        x, w = x.astype(dtype), w.astype(dtype)
+    if w.shape[0] == 1:  # 1x1 conv == matmul (keeps the MXU busy)
+        return jnp.dot(x, w[0], preferred_element_type=jnp.float32) + p["b"]
+    pad = (w.shape[0] - 1) * dilation // 2
     y = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1,), padding=[(pad, pad)],
+        x, w, window_strides=(1,), padding=[(pad, pad)],
         rhs_dilation=(dilation,), dimension_numbers=("NWC", "WIO", "NWC"),
     )
     return y + p["b"]
@@ -108,20 +113,27 @@ def _conv1d(p, x, dilation=1):
 def _upsample_mel(p, mel, cfg: WaveGlowConfig):
     """ConvTranspose1d(80, 80, 1024, stride 256): (B, T, 80) -> (B, T', 80).
 
-    Implemented as an lhs-dilated conv with a flipped kernel (equivalent to
-    torch's transposed conv; parity-tested against torch in tests).
+    Implemented as einsum + overlap-add instead of an lhs-dilated conv —
+    XLA computes the dilated form densely (O(T*s*k*C^2), ~1000x the useful
+    FLOPs); the scatter form is one MXU einsum and k/s shifted adds.
+    Parity-tested against torch ConvTranspose1d.
     """
-    k = cfg.upsample_kernel
-    w = jnp.flip(p["w"], axis=0)  # stored (k, in, out) in torch-transposed form
-    y = jax.lax.conv_general_dilated(
-        mel, w, window_strides=(1,), padding=[(k - 1, k - 1)],
-        lhs_dilation=(cfg.upsample_stride,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-    )
-    y = y + p["b"]
+    k, s = cfg.upsample_kernel, cfg.upsample_stride
+    assert k % s == 0, "upsample kernel must be a multiple of the stride"
+    B, T, _ = mel.shape
+    w = p["w"]  # (k, in, out), w[dk, i, o] = torch_w[i, o, dk]
+    # contribution of input frame t to output sample t*s + dk
+    contrib = jnp.einsum("bti,kio->btko", mel, w,
+                         preferred_element_type=jnp.float32)
+    n_chunks = k // s
+    c = contrib.reshape(B, T, n_chunks, s, -1)
+    out = jnp.zeros((B, T + n_chunks - 1, s, c.shape[-1]), jnp.float32)
+    for j in range(n_chunks):
+        out = out.at[:, j : j + T].add(c[:, :, j])
+    out = out.reshape(B, -1, c.shape[-1])[:, : (T - 1) * s + k]
+    y = out + p["b"]
     # Trim the transposed-conv tail (NVIDIA glow.py trims kernel - stride).
-    trim = k - cfg.upsample_stride
-    return y[:, : y.shape[1] - trim]
+    return y[:, : y.shape[1] - (k - s)]
 
 
 def _squeeze_mel(mel_up, cfg: WaveGlowConfig):
@@ -146,25 +158,25 @@ def _unsqueeze_audio(audio):
     return audio.reshape(B, T * C)
 
 
-def _wn(wn, audio_0, cond, cfg: WaveGlowConfig):
+def _wn(wn, audio_0, cond, cfg: WaveGlowConfig, dtype=None):
     """Non-causal WaveNet conditioner -> (b, log_s)."""
-    x = _conv1d(wn["start"], audio_0)
-    cond_all = _conv1d(wn["cond"], cond)  # (B, T, 2*ch*n_layers)
+    x = _conv1d(wn["start"], audio_0, dtype=dtype)
+    cond_all = _conv1d(wn["cond"], cond, dtype=dtype)  # (B, T, 2*ch*n_layers)
     output = jnp.zeros_like(x)
     nc = cfg.n_channels
     for i in range(cfg.n_layers):
-        a = _conv1d(wn["in"][i], x, dilation=2 ** i)
+        a = _conv1d(wn["in"][i], x, dilation=2 ** i, dtype=dtype)
         c = jax.lax.dynamic_slice_in_dim(cond_all, i * 2 * nc, 2 * nc, axis=2)
         acts = jnp.tanh(a[..., :nc] + c[..., :nc]) * jax.nn.sigmoid(
             a[..., nc:] + c[..., nc:]
         )
-        rs = _conv1d(wn["res_skip"][i], acts)
+        rs = _conv1d(wn["res_skip"][i], acts, dtype=dtype)
         if i < cfg.n_layers - 1:
             x = x + rs[..., :nc]
             output = output + rs[..., nc:]
         else:
             output = output + rs
-    out = _conv1d(wn["end"], output)
+    out = _conv1d(wn["end"], output, dtype=dtype)
     n_half = out.shape[-1] // 2
     return out[..., :n_half], out[..., n_half:]  # (b, log_s)
 
@@ -200,13 +212,14 @@ def forward(params, audio, mel, cfg: WaveGlowConfig = WaveGlowConfig()):
     return z, log_s_all, log_det_all
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _inverse_impl(params, z, cond, cfg: WaveGlowConfig):
+@partial(jax.jit, static_argnums=(3, 4))
+def _inverse_impl(params, z, cond, cfg: WaveGlowConfig, dtype_name=None):
     """Deterministic inverse flow: z (B, T, n_group) -> audio (B, T, n_group).
 
     z channel layout matches ``forward``'s output: early outputs in emission
     order, then the final remaining channels.
     """
+    dtype = jnp.dtype(dtype_name) if dtype_name else None
     chans = cfg.audio_channels()
     # Split z into [early_1, early_2, ..., final] parts.
     sizes = [cfg.n_early_size
@@ -223,7 +236,7 @@ def _inverse_impl(params, z, cond, cfg: WaveGlowConfig):
         flow = params["flows"][k]
         n_half = chans[k] // 2
         x0, x1 = x[..., :n_half], x[..., n_half:]
-        b, log_s = _wn(flow["wn"], x0, cond, cfg)
+        b, log_s = _wn(flow["wn"], x0, cond, cfg, dtype=dtype)
         x1 = (x1 - b) * jnp.exp(-log_s)
         x = jnp.concatenate([x0, x1], axis=-1)
         w_inv = jnp.linalg.inv(flow["inv_conv"]["w"])
@@ -246,11 +259,15 @@ def inverse(params, z, mel, cfg: WaveGlowConfig = WaveGlowConfig()):
 
 
 def infer(params, mel, cfg: WaveGlowConfig = WaveGlowConfig(),
-          sigma: float = 0.666, key=None):
-    """Serving direction: mel (B, n_mel, T_mel) -> waveform (B, samples)."""
+          sigma: float = 0.666, key=None, dtype_name: str | None = None):
+    """Serving direction: mel (B, n_mel, T_mel) -> waveform (B, samples).
+
+    dtype_name optionally selects the WaveNet-conv compute dtype (fp32
+    default; bf16 measured speed-neutral on v5e).
+    """
     if key is None:
         key = jax.random.PRNGKey(0)
     cond = _cond_from_mel(params, mel, cfg)
     B, T, _ = cond.shape
     z = sigma * jax.random.normal(key, (B, T, cfg.n_group))
-    return _unsqueeze_audio(_inverse_impl(params, z, cond, cfg))
+    return _unsqueeze_audio(_inverse_impl(params, z, cond, cfg, dtype_name))

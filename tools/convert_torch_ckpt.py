@@ -262,22 +262,19 @@ def convert_waveglow(path_or_sd, cfg=None):
 
 def main():
     kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    import pickle
+
     if kind == "tacotron2":
         import torch
 
         blob = torch.load(src, map_location="cpu", weights_only=False)
         sd = blob.get("state_dict", blob)
         params, model_state = convert_tacotron2(sd)
-        np.savez(dst, **{"__tree__": np.void(b"")})  # placeholder
-        import pickle
-
         with open(dst, "wb") as f:
             pickle.dump({"params": params, "model_state": model_state,
                          "iteration": int(blob.get("iteration", 0))}, f)
     elif kind == "waveglow":
         params = convert_waveglow(src)
-        import pickle
-
         with open(dst, "wb") as f:
             pickle.dump({"waveglow": params}, f)
     else:
