@@ -147,29 +147,31 @@ def _loc_conv_weight_grad(w_prev, w_cum, dloc, K):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6,))
-def scan_core(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
-    ys, _ = _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg)
+def scan_core(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
+    """drop_masks: (m1, m2, m3, m4) pre-scaled (bernoulli/keep) dropout masks
+    with leading time dim — (T, B, H) when dropout is active, (T, 1, 1) ones
+    otherwise. Precomputed in bulk: in-scan RNG costs ~20% of the train step."""
+    ys, _ = _fwd_impl(
+        scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg
+    )
     return ys
 
 
-def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
+def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
     T, B, P = prenet_seq.shape
     S, E = memory.shape[1], memory.shape[2]
     H = scan_params["attn_w"].shape[1] // 4
 
     def step(carry, inp):
         h_att, c_att, h_dec, c_dec, w_prev, w_cum, ctx = carry
-        pn_t, key_t = inp
-        k1, k2, k3, k4 = jax.random.split(key_t, 4)
+        pn_t, m1, m2, m3, m4 = inp
 
         x_att = jnp.concatenate([pn_t, ctx, h_att], axis=-1)
         g_att = _cdot(x_att, scan_params["attn_w"], cfg) + scan_params["attn_b"]
         h_att_new, c_att_new = _lstm_fwd(g_att, c_att, H)
         if cfg.train and cfg.n_half_keep_att < 1.0:
-            h_att_new = h_att_new * _dropout_mask(
-                k1, h_att_new.shape, cfg.n_half_keep_att)
-            c_att_new = c_att_new * _dropout_mask(
-                k2, c_att_new.shape, cfg.n_half_keep_att)
+            h_att_new = h_att_new * m1
+            c_att_new = c_att_new * m2
 
         loc = _loc_conv(w_prev, w_cum, scan_params["loc_w"])  # (B,S,F)
         locd = jnp.dot(loc, scan_params["loc_dense_w"],
@@ -189,10 +191,8 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
         g_dec = _cdot(x_dec, scan_params["dec_w"], cfg) + scan_params["dec_b"]
         h_dec_new, c_dec_new = _lstm_fwd(g_dec, c_dec, H)
         if cfg.train and cfg.n_half_keep_dec < 1.0:
-            h_dec_new = h_dec_new * _dropout_mask(
-                k3, h_dec_new.shape, cfg.n_half_keep_dec)
-            c_dec_new = c_dec_new * _dropout_mask(
-                k4, c_dec_new.shape, cfg.n_half_keep_dec)
+            h_dec_new = h_dec_new * m3
+            c_dec_new = c_dec_new * m4
 
         new_carry = (h_att_new, c_att_new, h_dec_new, c_dec_new,
                      w, w_cum_new, ctx_new)
@@ -203,20 +203,22 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
 
     z = lambda *s: jnp.zeros(s, jnp.float32)
     init = (z(B, H), z(B, H), z(B, H), z(B, H), z(B, S), z(B, S), z(B, E))
-    _, (ys, resids) = jax.lax.scan(step, init, (prenet_seq, keys))
+    _, (ys, resids) = jax.lax.scan(step, init, (prenet_seq, *drop_masks))
     return ys, resids
 
 
-def _fwd_rule(scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg):
+def _fwd_rule(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
     ys, resids = _fwd_impl(
-        scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+        scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg
     )
-    saved = (scan_params, prenet_seq, memory, pmem, add_mask, keys, ys, resids)
+    saved = (scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
+             ys, resids)
     return ys, saved
 
 
 def _bwd_rule(cfg, saved, dys):
-    (scan_params, prenet_seq, memory, pmem, add_mask, keys, ys, resids) = saved
+    (scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
+     ys, resids) = saved
     dh_dec_seq, dctx_seq, dw_seq = dys
     h_dec_seq, ctx_seq, w_seq = ys
     (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq, h_att_seq,
@@ -243,18 +245,13 @@ def _bwd_rule(cfg, saved, dys):
         (dh_att_c, dc_att_c, dh_dec_c, dc_dec_c, dw_prev_c, dwcum_c,
          dctx_c) = carry
         (dh_dec_out, dctx_out, dw_out, g_att, g_dec, c_att_prev, c_dec_prev,
-         h_att_d, w_prev, w_cum_prev, ctx_prev, h_dec_prev, w_t, key_t,
-         tanh_arg, loc) = inp
-
-        k1, k2, k3, k4 = jax.random.split(key_t, 4)
-        w_cum = w_cum_prev + w_t
+         h_att_d, w_prev, w_cum_prev, ctx_prev, h_dec_prev, w_t,
+         m1, m2, m3, m4, tanh_arg, loc) = inp
 
         # ---- decoder LSTM backward ----
         dh_dec_d = dh_dec_out + dh_dec_c
         dc_dec_d = dc_dec_c
         if cfg.train and cfg.n_half_keep_dec < 1.0:
-            m3 = _dropout_mask(k3, (B, H), cfg.n_half_keep_dec)
-            m4 = _dropout_mask(k4, (B, H), cfg.n_half_keep_dec)
             dh_dec = dh_dec_d * m3
             dc_dec = dc_dec_d * m4
         else:
@@ -296,8 +293,6 @@ def _bwd_rule(cfg, saved, dys):
 
         # ---- attention LSTM backward ----
         if cfg.train and cfg.n_half_keep_att < 1.0:
-            m1 = _dropout_mask(k1, (B, H), cfg.n_half_keep_att)
-            m2 = _dropout_mask(k2, (B, H), cfg.n_half_keep_att)
             dh_att = dh_att_d * m1
             dc_att = dc_att_c * m2
         else:
@@ -324,8 +319,8 @@ def _bwd_rule(cfg, saved, dys):
     )
     xs = (dh_dec_seq, dctx_seq, dw_seq, g_att_seq, g_dec_seq,
           c_att_prev_seq, c_dec_prev_seq, h_att_seq, w_prev_seq,
-          w_cum_prev_seq, ctx_prev_seq, h_dec_prev_seq, w_seq, keys,
-          tanh_arg_seq, loc_seq)
+          w_cum_prev_seq, ctx_prev_seq, h_dec_prev_seq, w_seq,
+          *drop_masks, tanh_arg_seq, loc_seq)
     final, (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
             de_seq, dq_seq, dtanh_seq, dloc_seq) = jax.lax.scan(
         step, carry0, xs, reverse=True
@@ -367,8 +362,8 @@ def _bwd_rule(cfg, saved, dys):
         "query_w": dWq, "loc_w": dWloc, "loc_dense_w": dWld, "v_w": dv,
     }
     d_add_mask = jnp.zeros_like(add_mask)  # mask derives from int lengths
-    d_keys = np.zeros(keys.shape, dtype=jax.dtypes.float0)
-    return (d_scan_params, dpn_seq, dmemory, dpmem, d_add_mask, d_keys)
+    d_masks = tuple(jnp.zeros_like(m) for m in drop_masks)  # constants
+    return (d_scan_params, dpn_seq, dmemory, dpmem, d_add_mask, d_masks)
 
 
 scan_core.defvjp(_fwd_rule, _bwd_rule)
@@ -412,7 +407,22 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     else:
         add_mask = jnp.zeros((B, S), jnp.float32)
 
-    keys = jax.random.split(rng, T)
+    # Bulk-generate dropout masks (pre-scaled): in-scan RNG is ~20% of the
+    # step; one big bernoulli is nearly free.
+    H = hp.attention_rnn_dim
+    if train and (hp.p_attention_dropout > 0 or hp.p_decoder_dropout > 0):
+        km = jax.random.split(rng, 4)
+        keep_a = 1.0 - hp.p_attention_dropout
+        keep_d = 1.0 - hp.p_decoder_dropout
+        drop_masks = (
+            _dropout_mask(km[0], (T, B, H), keep_a),
+            _dropout_mask(km[1], (T, B, H), keep_a),
+            _dropout_mask(km[2], (T, B, hp.decoder_rnn_dim), keep_d),
+            _dropout_mask(km[3], (T, B, hp.decoder_rnn_dim), keep_d),
+        )
+    else:
+        ones = jnp.ones((T, 1, 1), jnp.float32)
+        drop_masks = (ones, ones, ones, ones)
 
     scan_params = {
         "attn_w": jnp.concatenate(
@@ -436,7 +446,7 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         compute_dtype=jnp.dtype(dtype).name if dtype is not None else "float32",
     )
     h_dec_seq, ctx_seq, w_seq = scan_core(
-        scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+        scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg
     )
 
     hidden_ctx = jnp.concatenate([h_dec_seq, ctx_seq], axis=-1)  # (T, B, ·)

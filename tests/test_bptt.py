@@ -39,24 +39,31 @@ def _setup(train, B=2, S=9, T=11, K=7):
     lengths = jnp.asarray([S, S - 3])
     valid = jnp.arange(S)[None, :] < lengths[:, None]
     add_mask = jnp.where(valid, 0.0, jnp.finfo(jnp.float32).min)
-    keys = jax.random.split(jax.random.PRNGKey(3), T)
+    if train:
+        km = jax.random.split(jax.random.PRNGKey(3), 4)
+        masks = tuple(
+            bptt._dropout_mask(km[i], (T, B, H), 0.9) for i in range(4)
+        )
+    else:
+        ones = jnp.ones((T, 1, 1), jnp.float32)
+        masks = (ones, ones, ones, ones)
     cfg = bptt.ScanConfig(0.9, 0.9, train)
-    return scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+    return scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
 
 
 @pytest.mark.parametrize("train", [False, True])
 def test_custom_vjp_matches_autodiff(train):
-    scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg = _setup(train)
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(train)
 
     def loss_custom(scan_params, prenet_seq, memory, pmem):
         h, c, w = bptt.scan_core(
-            scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
         )
         return (jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3))
 
     def loss_auto(scan_params, prenet_seq, memory, pmem):
         (h, c, w), _ = bptt._fwd_impl(
-            scan_params, prenet_seq, memory, pmem, add_mask, keys, cfg
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
         )
         return (jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3))
 
