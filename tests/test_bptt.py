@@ -81,6 +81,45 @@ def test_custom_vjp_matches_autodiff(train):
         )
 
 
+@pytest.mark.parametrize("train", [False, True])
+def test_pallas_fwd_matches_xla_fwd(train):
+    """The Pallas teacher-forced forward kernel (interpret mode) reproduces
+    _fwd_impl's ys AND residuals, and grads still match autodiff."""
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(train)
+    cfg_p = cfg._replace(use_pallas_fwd=True, pallas_interpret=True)
+
+    ys_x, res_x = bptt._fwd_impl(
+        scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+    )
+    ys_p, saved = bptt._fwd_rule(
+        scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg_p
+    )
+    res_p = saved[-1]
+    for a, b in zip(ys_p, ys_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(res_p, res_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def loss_pallas(scan_params, prenet_seq, memory, pmem):
+        h, c, w = bptt.scan_core(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg_p
+        )
+        return jnp.sum(h ** 2) + jnp.sum(w ** 3)
+
+    def loss_auto(scan_params, prenet_seq, memory, pmem):
+        (h, c, w), _ = bptt._fwd_impl(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+        )
+        return jnp.sum(h ** 2) + jnp.sum(w ** 3)
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    g2 = jax.grad(loss_auto, argnums=(0, 1, 2, 3))(*args)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
 def test_teacher_forced_bptt_matches_reference_path():
     """Forward outputs of the BPTT path equal decoder.teacher_forced
     (dropout off; fp32)."""
