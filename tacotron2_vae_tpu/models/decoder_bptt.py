@@ -28,8 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LOC_PAD = None  # set per-call from kernel width
-
 
 class ScanConfig(NamedTuple):
     n_half_keep_att: float  # 1 - p_attention_dropout

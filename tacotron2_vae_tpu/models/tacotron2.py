@@ -157,11 +157,15 @@ def infer(
     gate_threshold: float | None = None,
     prenet_dropout_enabled: bool = True,
     use_pallas: bool | None = None,
+    text_lengths=None,
 ):
     """Autoregressive synthesis from token ids + a style embedding.
 
     Mirrors the reference serving path (synthesizer.py:112-159): encoder
-    inference (no length masking), style broadcast-add, decoder loop, postnet.
+    inference, style broadcast-add, decoder loop, postnet.  Passing
+    `text_lengths` masks the encoder BiLSTM and the attention over padded
+    positions, so text can be bucket-padded to a few static lengths (one XLA
+    compilation per bucket instead of one per utterance).
     Returns (mel, mel_postnet, gate, alignments, lengths).
     """
     dtype = jnp.dtype(hp.compute_dtype) if hp.compute_dtype != "float32" else None
@@ -169,7 +173,7 @@ def infer(
 
     embedded = embedding(params["embedding"], text)
     transcript, _ = encoder_mod.apply(
-        params["encoder"], state["encoder"], embedded, None,
+        params["encoder"], state["encoder"], embedded, text_lengths,
         train=False, rng=r_enc, dtype=dtype,
     )
     if style_embed.ndim == 1:
@@ -180,6 +184,7 @@ def infer(
         params["decoder"], memory, hp, rng=r_dec,
         max_steps=max_steps, gate_threshold=gate_threshold, dtype=dtype,
         prenet_dropout_enabled=prenet_dropout_enabled, use_pallas=use_pallas,
+        memory_lengths=text_lengths,
     )
     residual, _ = postnet_mod.apply(
         params["postnet"], state["postnet"], mel, train=False, rng=r_post,

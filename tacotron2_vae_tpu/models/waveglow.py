@@ -258,16 +258,22 @@ def inverse(params, z, mel, cfg: WaveGlowConfig = WaveGlowConfig()):
     return _unsqueeze_audio(_inverse_impl(params, z[:, :T], cond[:, :T], cfg))
 
 
-def infer(params, mel, cfg: WaveGlowConfig = WaveGlowConfig(),
-          sigma: float = 0.666, key=None, dtype_name: str | None = None):
-    """Serving direction: mel (B, n_mel, T_mel) -> waveform (B, samples).
-
-    dtype_name optionally selects the WaveNet-conv compute dtype (fp32
-    default; bf16 measured speed-neutral on v5e).
-    """
-    if key is None:
-        key = jax.random.PRNGKey(0)
+@partial(jax.jit, static_argnums=(2, 5))
+def _infer_impl(params, mel, cfg, sigma, key, dtype_name):
     cond = _cond_from_mel(params, mel, cfg)
     B, T, _ = cond.shape
     z = sigma * jax.random.normal(key, (B, T, cfg.n_group))
     return _unsqueeze_audio(_inverse_impl(params, z, cond, cfg, dtype_name))
+
+
+def infer(params, mel, cfg: WaveGlowConfig = WaveGlowConfig(),
+          sigma: float = 0.666, key=None, dtype_name: str | None = None):
+    """Serving direction: mel (B, n_mel, T_mel) -> waveform (B, samples).
+
+    Fully jitted (upsampler + inverse flows). dtype_name optionally selects
+    the WaveNet-conv compute dtype (fp32 default).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _infer_impl(params, mel, cfg, jnp.asarray(sigma, jnp.float32),
+                       key, dtype_name)

@@ -38,6 +38,17 @@ from ..text import text_to_sequence
 
 class Synthesizer:
     def __init__(self, hparams=None):
+        # Persistent compilation cache: one compile per (text, mel) bucket
+        # shape for the lifetime of the cache dir, across restarts.
+        try:
+            if not jax.config.jax_compilation_cache_dir:
+                jax.config.update(
+                    "jax_compilation_cache_dir",
+                    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                   os.path.expanduser("~/.cache/t2v_jax")),
+                )
+        except Exception:
+            pass
         self.hparams = hparams or create_hparams()
         self.hparams = self.hparams.replace(
             sampling_rate=16000, max_decoder_steps=600  # synthesizer.py:50-51
@@ -69,12 +80,18 @@ class Synthesizer:
 
     def load(self, checkpoint_path: str, waveglow_path: str | None = None,
              centroid_filelist: str | None = None):
-        """Load model weights (+ optional WaveGlow) and per-emotion centroids."""
-        self.params, self.model_state = _load_any_checkpoint(
-            checkpoint_path, self.hparams
-        )
+        """Load model weights (+ optional WaveGlow) and per-emotion centroids.
+
+        Weights are device_put once — otherwise every synthesis re-uploads
+        the full parameter set from host numpy (seconds per call).
+        """
+        params, model_state = _load_any_checkpoint(checkpoint_path, self.hparams)
+        self.params = jax.device_put(params)
+        self.model_state = jax.device_put(model_state)
         if waveglow_path:
-            self.waveglow = _load_waveglow(waveglow_path, self.waveglow_cfg)
+            self.waveglow = jax.device_put(
+                _load_waveglow(waveglow_path, self.waveglow_cfg)
+            )
 
         if centroid_filelist is None:
             centroid_filelist = os.path.join(
@@ -157,21 +174,31 @@ class Synthesizer:
     # ------------------------------------------------------------------
 
     def synthesize_mel(self, text: str, style: jnp.ndarray):
-        """text + style embedding -> (mel, mel_postnet, gate, align, length)."""
+        """text + style embedding -> (mel, mel_postnet, gate, align, length).
+
+        Text is padded up to a bucketed static length (with masking inside
+        the model), so XLA compiles once per bucket, not once per utterance.
+        """
         hp = self.hparams
         seq = np.asarray(
             text_to_sequence(text, ["korean_cleaners"]), np.int32
-        )[None, :]
+        )
+        n = len(seq)
+        bucket = max(hp.text_bucket_size, 1)
+        padded_len = ((n + bucket - 1) // bucket) * bucket
+        seq = np.pad(seq, (0, padded_len - n))[None, :]
         self._rng, rng = jax.random.split(self._rng)
         if self._synth_jit is None:
-            def _synth(params, state, text_ids, style, rng):
+            def _synth(params, state, text_ids, text_lengths, style, rng):
                 return tacotron2.infer(
                     params, state, text_ids, style, hp, rng=rng,
                     max_steps=hp.max_decoder_steps,
+                    text_lengths=text_lengths,
                 )
             self._synth_jit = jax.jit(_synth)
         mel, mel_post, gate, align, lengths = self._synth_jit(
             self.params, self.model_state, jnp.asarray(seq),
+            jnp.asarray([n], jnp.int32),
             jnp.asarray(style)[None] if style.ndim == 1 else style, rng,
         )
         n = int(lengths[0])
@@ -184,14 +211,26 @@ class Synthesizer:
         )
 
     def vocode(self, mel: np.ndarray, sigma: float = 0.666) -> np.ndarray:
-        """mel (1, n_mel, T) -> waveform via WaveGlow (or Griffin-Lim)."""
+        """mel (1, n_mel, T) -> waveform via WaveGlow (or Griffin-Lim).
+
+        The mel is padded with log-silence up to a bucketed frame count so
+        the vocoder compiles once per bucket; the tail audio is trimmed.
+        """
         if self.waveglow is not None:
+            hp = self.hparams
+            T = mel.shape[2]
+            bucket = max(hp.mel_bucket_size, 1)
+            padded = ((T + bucket - 1) // bucket) * bucket
+            mel_p = np.pad(
+                np.asarray(mel), ((0, 0), (0, 0), (0, padded - T)),
+                constant_values=np.log(1e-5),
+            )
             self._rng, rng = jax.random.split(self._rng)
             wav = waveglow_mod.infer(
-                self.waveglow, jnp.asarray(mel), self.waveglow_cfg,
+                self.waveglow, jnp.asarray(mel_p), self.waveglow_cfg,
                 sigma=sigma, key=rng,
             )
-            return np.asarray(wav)[0]
+            return np.asarray(wav)[0][: T * hp.hop_length]
         # Griffin-Lim fallback: invert the log-mel approximately.
         hp = self.hparams
         mel_lin = np.asarray(dynamic_range_decompression(jnp.asarray(mel)))[0]

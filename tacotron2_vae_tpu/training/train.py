@@ -46,8 +46,23 @@ def validate(eval_step, ts, val_loader, rng):
     return (float(np.mean(losses)) if losses else float("nan")), last
 
 
+def maybe_init_distributed():
+    """Multi-host: one process per host, rendezvous from env (replaces the
+    reference's NCCL TCP rendezvous + multiproc launcher)."""
+    import os as _os
+
+    coord = _os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(_os.environ.get("JAX_NUM_PROCESSES", "1")),
+            process_id=int(_os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+
+
 def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
     os.makedirs(output_directory, exist_ok=True)
+    maybe_init_distributed()
 
     # Data axis must divide the batch; use as many devices as cleanly fit.
     import math
