@@ -32,13 +32,24 @@ def init(key, hp):
     return {"convs": convs, "bns": bns, "lstm": lstm}, {"bns": bn_state}
 
 
-def apply(params, state, x, lengths, *, train: bool, rng, dtype=None):
+def apply(params, state, x, lengths, *, train: bool, rng, dtype=None,
+          mask_conv_inputs: bool = False):
     """x: (B, T, encoder_dim) embedded text -> (B, T, encoder_dim).
 
     lengths=None gives the reference's `.inference()` path (model.py:194-203).
+    mask_conv_inputs=True zeroes padded positions before every conv so a
+    bucket-padded sequence produces bit-identical valid outputs to the
+    unpadded run (a conv's zero boundary == zeroed padding); training keeps
+    the reference semantics (pad embeddings leak into the conv receptive
+    field, model.py:175-178).
     """
+    mask = None
+    if mask_conv_inputs and lengths is not None:
+        mask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None])[..., None]
     new_bns = []
     for i, (cp, bp) in enumerate(zip(params["convs"], params["bns"])):
+        if mask is not None:
+            x = jnp.where(mask, x, 0.0)
         x = conv1d(cp, x, padding="SAME", dtype=dtype)
         x, bn_s = batchnorm(bp, state["bns"][i], x, train)
         x = jax.nn.relu(x)

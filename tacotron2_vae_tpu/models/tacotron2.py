@@ -174,7 +174,7 @@ def infer(
     embedded = embedding(params["embedding"], text)
     transcript, _ = encoder_mod.apply(
         params["encoder"], state["encoder"], embedded, text_lengths,
-        train=False, rng=r_enc, dtype=dtype,
+        train=False, rng=r_enc, dtype=dtype, mask_conv_inputs=True,
     )
     if style_embed.ndim == 1:
         style_embed = style_embed[None]
