@@ -46,6 +46,18 @@ def _cdot(a, b, cfg):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _cast_w(w, cfg):
+    """Cast a loop-invariant weight to the compute dtype OUTSIDE the scan.
+
+    `_cdot` inside a scan body re-casts its operands every time step; XLA
+    does not reliably hoist the (fp32 -> bf16) convert of the ~36MB fused
+    LSTM weights out of the loop, which costs an extra HBM pass per step.
+    Pre-cast once so the in-scan astype is a no-op."""
+    if cfg.compute_dtype != "float32":
+        return w.astype(jnp.dtype(cfg.compute_dtype))
+    return w
+
+
 def _split_gates(g, H):
     return g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
 
@@ -161,13 +173,15 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
     T, B, P = prenet_seq.shape
     S, E = memory.shape[1], memory.shape[2]
     H = scan_params["attn_w"].shape[1] // 4
+    attn_w_c = _cast_w(scan_params["attn_w"], cfg)
+    dec_w_c = _cast_w(scan_params["dec_w"], cfg)
 
     def step(carry, inp):
         h_att, c_att, h_dec, c_dec, w_prev, w_cum, ctx = carry
         pn_t, m1, m2, m3, m4 = inp
 
         x_att = jnp.concatenate([pn_t, ctx, h_att], axis=-1)
-        g_att = _cdot(x_att, scan_params["attn_w"], cfg) + scan_params["attn_b"]
+        g_att = _cdot(x_att, attn_w_c, cfg) + scan_params["attn_b"]
         h_att_new, c_att_new = _lstm_fwd(g_att, c_att, H)
         if cfg.train and cfg.n_half_keep_att < 1.0:
             h_att_new = h_att_new * m1
@@ -188,7 +202,7 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
         w_cum_new = w_cum + w
 
         x_dec = jnp.concatenate([h_att_new, ctx_new, h_dec], axis=-1)
-        g_dec = _cdot(x_dec, scan_params["dec_w"], cfg) + scan_params["dec_b"]
+        g_dec = _cdot(x_dec, dec_w_c, cfg) + scan_params["dec_b"]
         h_dec_new, c_dec_new = _lstm_fwd(g_dec, c_dec, H)
         if cfg.train and cfg.n_half_keep_dec < 1.0:
             h_dec_new = h_dec_new * m3
@@ -256,6 +270,8 @@ def _bwd_rule(cfg, saved, dys):
     H = scan_params["attn_w"].shape[1] // 4
     A = scan_params["query_w"].shape[1]
     K = scan_params["loc_w"].shape[0]
+    attn_wT_c = _cast_w(scan_params["attn_w"].T, cfg)
+    dec_wT_c = _cast_w(scan_params["dec_w"].T, cfg)
 
     # Reconstruct per-step (w_prev, w_cum_prev, ctx_prev, h_prev) sequences.
     zrow = jnp.zeros((1, B, S), jnp.float32)
@@ -289,7 +305,7 @@ def _bwd_rule(cfg, saved, dys):
                  + jax.nn.sigmoid(gi) * jnp.tanh(gg))
         dg_dec, dc_dec_prev = _lstm_bwd(g_dec, c_dec_prev, c_dec,
                                         dh_dec, dc_dec, H)
-        dx_dec = _cdot(dg_dec, scan_params["dec_w"].T, cfg)
+        dx_dec = _cdot(dg_dec, dec_wT_c, cfg)
         dh_att_d = dx_dec[:, :H] + dh_att_c
         dctx = dx_dec[:, H:H + E] + dctx_out + dctx_c
         dh_dec_prev = dx_dec[:, H + E:]
@@ -329,7 +345,7 @@ def _bwd_rule(cfg, saved, dys):
                  + jax.nn.sigmoid(gi) * jnp.tanh(gg))
         dg_att, dc_att_prev = _lstm_bwd(g_att, c_att_prev, c_att,
                                         dh_att, dc_att, H)
-        dx_att = _cdot(dg_att, scan_params["attn_w"].T, cfg)
+        dx_att = _cdot(dg_att, attn_wT_c, cfg)
         dpn = dx_att[:, :P]
         dctx_prev = dx_att[:, P:P + E]
         dh_att_prev = dx_att[:, P + E:]
