@@ -82,7 +82,9 @@ class TextMelDataset:
 
     def get_text(self, text: str) -> np.ndarray:
         return np.asarray(
-            text_to_sequence(text, self.text_cleaners), dtype=np.int32
+            text_to_sequence(text, self.text_cleaners,
+                             symbol_type=getattr(self.hp, "symbol_type", 1)),
+            dtype=np.int32,
         )
 
     def get_mel(self, audiopath: str) -> np.ndarray:

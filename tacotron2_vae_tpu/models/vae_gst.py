@@ -72,6 +72,45 @@ def add_coords_2d(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([x, rows, cols, r], axis=-1)
 
 
+def add_coords_1d(x: jnp.ndarray, with_r: bool = False) -> jnp.ndarray:
+    """Rank-1 CoordConv coordinates (NWC): append a position channel in
+    [-1,1]; ``with_r`` adds |pos - 0.5|.
+
+    Parity with reference AddCoords rank-1 (CoordConv.py:19-35) — defined
+    there but never instantiated (only rank-2 is used); provided for API
+    completeness.
+    """
+    B, W, _ = x.shape
+    pos = jax.lax.broadcasted_iota(jnp.float32, (B, W, 1), 1)
+    pos = pos / jnp.maximum(W - 1, 1) * 2.0 - 1.0
+    out = jnp.concatenate([x, pos], axis=-1)
+    if with_r:
+        out = jnp.concatenate([out, jnp.abs(pos - 0.5)], axis=-1)
+    return out
+
+
+def add_coords_3d(x: jnp.ndarray, with_r: bool = False) -> jnp.ndarray:
+    """Rank-3 CoordConv coordinates (NDHWC): append normalized depth/row/col
+    channels in [-1,1]; ``with_r`` adds the radius about the 0.5 point.
+
+    The reference's rank-3 branch (CoordConv.py:77-120) is vestigial (never
+    instantiated) and emits unnormalized integer ramps; this implementation
+    uses the normalized form consistent with its rank-1/2 branches.
+    """
+    B, D, H, W, _ = x.shape
+    ds = jax.lax.broadcasted_iota(jnp.float32, (B, D, H, W, 1), 1)
+    rs = jax.lax.broadcasted_iota(jnp.float32, (B, D, H, W, 1), 2)
+    cs = jax.lax.broadcasted_iota(jnp.float32, (B, D, H, W, 1), 3)
+    ds = ds / jnp.maximum(D - 1, 1) * 2.0 - 1.0
+    rs = rs / jnp.maximum(H - 1, 1) * 2.0 - 1.0
+    cs = cs / jnp.maximum(W - 1, 1) * 2.0 - 1.0
+    out = jnp.concatenate([x, ds, rs, cs], axis=-1)
+    if with_r:
+        r = jnp.sqrt((ds - 0.5) ** 2 + (rs - 0.5) ** 2 + (cs - 0.5) ** 2)
+        out = jnp.concatenate([out, r], axis=-1)
+    return out
+
+
 def reference_encoder(params, state, mel, *, train: bool, dtype=None):
     """mel: (B, n_mels, T) -> (B, E//2) prosody summary.
 

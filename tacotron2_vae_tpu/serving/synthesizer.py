@@ -181,7 +181,9 @@ class Synthesizer:
         """
         hp = self.hparams
         seq = np.asarray(
-            text_to_sequence(text, ["korean_cleaners"]), np.int32
+            text_to_sequence(text, ["korean_cleaners"],
+                             symbol_type=getattr(hp, "symbol_type", 1)),
+            np.int32,
         )
         n = len(seq)
         bucket = max(hp.text_bucket_size, 1)

@@ -75,6 +75,10 @@ def english_cleaners(text: str) -> str:
     return text
 
 
-def korean_cleaners(text: str):
-    """Korean pipeline: normalization + jamo decomposition (returns tokens)."""
-    return ko_tokenize(text, as_id=False)
+def korean_cleaners(text: str, symbol_type: int = 1):
+    """Korean pipeline: normalization + jamo decomposition (returns tokens).
+
+    ``symbol_type`` selects the jamo inventory (1..4), matching the
+    reference's global ``change_symbol`` switch (text/korean.py:93-394).
+    """
+    return ko_tokenize(text, as_id=False, symbol_type=symbol_type)

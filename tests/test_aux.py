@@ -92,3 +92,57 @@ def test_symbol_types_2_3_4():
     for st in (1, 2, 3, 4):
         ids = tokenize("닭고기 백 그램", as_id=True, symbol_type=st)
         assert all(isinstance(i, int) for i in ids)
+
+
+def test_change_symbol_api():
+    """change_symbol + symbol_type= selects Korean inventories 1..4
+    (reference text/__init__.py::change_symbol, without global mutation)."""
+    from tacotron2_vae_tpu.text import (
+        change_symbol,
+        sequence_to_text,
+        text_to_sequence,
+    )
+
+    sizes = {st: len(change_symbol(st)) for st in (1, 2, 3, 4)}
+    assert sizes[1] == 80  # ALL_SYMBOLS_1 is the 80-symbol default
+    assert len(set(sizes.values())) == 4  # inventories genuinely differ
+    for st in (1, 2, 3, 4):
+        ids = text_to_sequence("닭", ["korean_cleaners"], symbol_type=st)
+        assert all(0 <= i < sizes[st] for i in ids)
+        rt = sequence_to_text(ids, ["korean_cleaners"], symbol_type=st)
+        assert rt.endswith("~")
+    # type-3 splits the compound tail -> one more symbol than type-2
+    n2 = len(text_to_sequence("닭", ["korean_cleaners"], symbol_type=2))
+    n3 = len(text_to_sequence("닭", ["korean_cleaners"], symbol_type=3))
+    assert n3 == n2 + 1
+    # default (no symbol_type) is inventory 1 — unchanged behavior
+    assert text_to_sequence("닭", ["korean_cleaners"]) == text_to_sequence(
+        "닭", ["korean_cleaners"], symbol_type=1
+    )
+    try:
+        change_symbol(5)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_add_coords_rank_1_and_3():
+    """Rank-1/3 CoordConv coordinate channels (reference CoordConv.py rank
+    variants; only rank-2 is used by the model — these are API parity)."""
+    from tacotron2_vae_tpu.models.vae_gst import add_coords_1d, add_coords_3d
+
+    x = jnp.zeros((2, 5, 3))
+    out = add_coords_1d(x, with_r=True)
+    assert out.shape == (2, 5, 3 + 2)
+    pos = np.asarray(out[0, :, 3])
+    assert np.allclose(pos, np.linspace(-1.0, 1.0, 5))
+    assert np.allclose(np.asarray(out[0, :, 4]), np.abs(pos - 0.5))
+
+    x3 = jnp.zeros((1, 2, 3, 4, 1))
+    out3 = add_coords_3d(x3, with_r=True)
+    assert out3.shape == (1, 2, 3, 4, 1 + 4)
+    assert np.allclose(np.asarray(out3[0, :, 0, 0, 1]), [-1.0, 1.0])  # depth
+    assert np.allclose(np.asarray(out3[0, 0, :, 0, 2]), [-1.0, 0.0, 1.0])
+    assert np.allclose(
+        np.asarray(out3[0, 0, 0, :, 3]), np.linspace(-1.0, 1.0, 4)
+    )
