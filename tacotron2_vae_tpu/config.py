@@ -246,4 +246,17 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
         hp = hp.parse(hparams_string)
     if verbose:
         print(f"Final parsed hparams: {hp.values()}")
+    if hp.symbol_type != 1 and "korean_cleaners" in hp.text_cleaners:
+        from .text import change_symbol
+
+        n_inv = len(change_symbol(hp.symbol_type))
+        if hp.n_symbols != n_inv:
+            import warnings
+
+            warnings.warn(
+                f"symbol_type={hp.symbol_type} has {n_inv} symbols but "
+                f"n_symbols={hp.n_symbols}; set n_symbols={n_inv} so the "
+                "embedding table matches the inventory.",
+                stacklevel=2,
+            )
     return hp
