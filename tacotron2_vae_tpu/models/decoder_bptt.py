@@ -286,7 +286,7 @@ def _bwd_rule(cfg, saved, dys):
 
     def step(carry, inp):
         (dh_att_c, dc_att_c, dh_dec_c, dc_dec_c, dw_prev_c, dwcum_c,
-         dctx_c) = carry
+         dctx_c, dv_acc, dWq_acc, dWld_acc) = carry
         (dh_dec_out, dctx_out, dw_out, g_att, g_dec, c_att_prev, c_dec_prev,
          h_att_d, w_prev, w_cum_prev, ctx_prev, h_dec_prev, w_t,
          m1, m2, m3, m4, tanh_arg, loc) = inp
@@ -328,6 +328,17 @@ def _bwd_rule(cfg, saved, dys):
                                       preferred_element_type=jnp.float32)
         dloc = jnp.dot(dtanh, scan_params["loc_dense_w"].T,
                        preferred_element_type=jnp.float32)  # (B,S,F)
+        # Accumulate the small attention weight grads in-scan (tiny fp32
+        # accumulators stay in VMEM) instead of re-reading the (T,B,S,A)
+        # tanh_arg/dtanh streams in post-scan einsums.  dpmem still rides
+        # the dtanh scan output: a (B,S,A) carry accumulator is a per-step
+        # HBM read-modify-write that measures slower than the extra pass.
+        dv_acc = dv_acc + jnp.einsum(
+            "bsa,bs->a", tanh_arg, de, preferred_element_type=jnp.float32)
+        dWq_acc = dWq_acc + jnp.dot(
+            h_att_d.T, dq, preferred_element_type=jnp.float32)
+        dWld_acc = dWld_acc + jnp.einsum(
+            "bsf,bsa->fa", loc, dtanh, preferred_element_type=jnp.float32)
         dfeats = _loc_conv_input_grad(dloc, scan_params["loc_w"])  # (B,S,2)
         dw_prev_new = dfeats[..., 0]
         dwcum_prev_ch = dfeats[..., 1]
@@ -351,31 +362,31 @@ def _bwd_rule(cfg, saved, dys):
         dh_att_prev = dx_att[:, P + E:]
 
         new_carry = (dh_att_prev, dc_att_prev, dh_dec_prev, dc_dec_prev,
-                     dw_prev_new, dwcum_prev, dctx_prev)
-        outs = (dg_att, dg_dec, dpn, dctx, de, dq, dtanh, dloc)
+                     dw_prev_new, dwcum_prev, dctx_prev,
+                     dv_acc, dWq_acc, dWld_acc)
+        outs = (dg_att, dg_dec, dpn, dctx, dtanh, dloc)
         return new_carry, outs
 
     zmat = lambda *s: jnp.zeros(s, jnp.float32)
+    F = scan_params["loc_dense_w"].shape[0]
     carry0 = (
         zmat(B, H), zmat(B, H), zmat(B, H), zmat(B, H),
         zmat(B, S), zmat(B, S), zmat(B, E),
+        zmat(A), zmat(H, A), zmat(F, A),
     )
     xs = (dh_dec_seq, dctx_seq, dw_seq, g_att_seq, g_dec_seq,
           c_att_prev_seq, c_dec_prev_seq, h_att_seq, w_prev_seq,
           w_cum_prev_seq, ctx_prev_seq, h_dec_prev_seq, w_seq,
           *drop_masks, tanh_arg_seq, loc_seq)
     final, (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
-            de_seq, dq_seq, dtanh_seq, dloc_seq) = jax.lax.scan(
+            dtanh_seq, dloc_seq) = jax.lax.scan(
         step, carry0, xs, reverse=True
     )
 
-    # ---- batched attention weight gradients (outside the scan) ----
-    dv = jnp.einsum("tbsa,tbs->a", tanh_arg_seq, de_seq,
-                    preferred_element_type=jnp.float32)[:, None]
-    dWq = jnp.einsum("tbh,tba->ha", h_att_seq, dq_seq,
-                     preferred_element_type=jnp.float32)
-    dWld = jnp.einsum("tbsf,tbsa->fa", loc_seq, dtanh_seq,
-                      preferred_element_type=jnp.float32)
+    # ---- attention weight gradients (accumulated in-scan) ----
+    dv = final[7][:, None]
+    dWq = final[8]
+    dWld = final[9]
     dpmem = jnp.sum(dtanh_seq, axis=0)
     # conv weight grad over the flattened (T*B) batch
     dWloc = _loc_conv_weight_grad(
