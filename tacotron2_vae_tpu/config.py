@@ -246,10 +246,22 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
         hp = hp.parse(hparams_string)
     if verbose:
         print(f"Final parsed hparams: {hp.values()}")
-    if hp.symbol_type != 1 and "korean_cleaners" in hp.text_cleaners:
+    # Any cleaner combo except pure-English routes through the Korean
+    # inventory (text/__init__.py::_tables), so validate whenever that path
+    # is active.  Ids >= n_symbols would be silently CLAMPED by XLA's gather
+    # semantics (aliasing many jamo onto the last embedding row) — fail fast
+    # on that; an oversized table is merely wasteful, so only warn.
+    if hp.symbol_type != 1 and tuple(hp.text_cleaners) != ("english_cleaners",):
         from .text import change_symbol
 
         n_inv = len(change_symbol(hp.symbol_type))
+        if hp.n_symbols < n_inv:
+            raise ValueError(
+                f"symbol_type={hp.symbol_type} has {n_inv} symbols but "
+                f"n_symbols={hp.n_symbols}: ids >= {hp.n_symbols} would be "
+                f"silently clamped in the embedding lookup. Set "
+                f"n_symbols={n_inv}."
+            )
         if hp.n_symbols != n_inv:
             import warnings
 

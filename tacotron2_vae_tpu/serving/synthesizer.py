@@ -181,7 +181,7 @@ class Synthesizer:
         """
         hp = self.hparams
         seq = np.asarray(
-            text_to_sequence(text, ["korean_cleaners"],
+            text_to_sequence(text, list(hp.text_cleaners),
                              symbol_type=getattr(hp, "symbol_type", 1)),
             np.int32,
         )

@@ -13,7 +13,7 @@ from functools import lru_cache
 from typing import List, Sequence
 
 from . import cleaners as _cleaners_mod
-from .symbols import eng_symbols, kor_symbols
+from .symbols import eng_symbols
 
 # Text enclosed in curly braces is treated as an ARPAbet phone sequence.
 _curly_re = re.compile(r"(.*?)\{(.+?)\}(.*)")

@@ -169,3 +169,38 @@ def test_bptt_grads_flow_in_train_mode():
     # recurrent weights receive gradient
     assert not np.allclose(np.asarray(grads["attention_rnn"]["wi"]), 0.0)
     assert not np.allclose(np.asarray(grads["attention"]["loc_conv"]["w"]), 0.0)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_custom_vjp_matches_autodiff_bf16(train):
+    """The bfloat16 compute path (hoisted _cast_w weights, bf16 matmuls with
+    fp32 accumulation in BOTH scan directions) matches autodiff of the same
+    bf16 forward.  Guards the cast-hoisting: a wrong/missing cast or
+    transpose in the bf16 branch is invisible to the fp32 tests."""
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(train)
+    cfg = cfg._replace(compute_dtype="bfloat16")
+
+    def loss_custom(scan_params, prenet_seq, memory, pmem):
+        h, c, w = bptt.scan_core(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+        )
+        return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3)
+
+    def loss_auto(scan_params, prenet_seq, memory, pmem):
+        (h, c, w), _ = bptt._fwd_impl(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+        )
+        return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3)
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    v1, g1 = jax.value_and_grad(loss_custom, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(loss_auto, argnums=(0, 1, 2, 3))(*args)
+    # Forward values are identical (same fwd graph); grads differ only by
+    # bf16 rounding order between the hand bwd and autodiff's bwd.
+    assert abs(float(v1) - float(v2)) < 1e-5
+    flat1, _ = jax.tree_util.tree_flatten(g1)
+    flat2, _ = jax.tree_util.tree_flatten(g2)
+    for a, b in zip(flat1, flat2):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.maximum(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 5e-2
