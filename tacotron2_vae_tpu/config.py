@@ -10,9 +10,10 @@ TF1 ``tf.contrib.training.HParams``.  The public surface is the same:
 Differences (deliberate, documented):
   * No import-time global config (the reference creates global hparams at
     module import in ``CoordConv.py:6`` and ``text/__init__.py:7``).
-  * ``fp16_run`` is kept for API parity but on TPU the mixed-precision policy
-    is bf16, which needs no loss scaling (bf16 has fp32 exponent range); the
-    dynamic-loss-scaling knobs are accepted and inert unless fp16_run is set.
+  * The default mixed-precision policy is bf16, which needs no loss scaling
+    (bf16 has fp32 exponent range).  ``fp16_run=True`` engages true float16
+    compute with (dynamic) loss scaling and overflow-skip, matching the
+    reference fp16_optimizer.py semantics (see training/train_state.py).
   * TPU-specific knobs (mesh shape, compute dtype, bucketing) are additive.
 """
 
@@ -246,29 +247,36 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
         hp = hp.parse(hparams_string)
     if verbose:
         print(f"Final parsed hparams: {hp.values()}")
-    # Any cleaner combo except pure-English routes through the Korean
-    # inventory (text/__init__.py::_tables), so validate whenever that path
-    # is active.  Ids >= n_symbols would be silently CLAMPED by XLA's gather
-    # semantics (aliasing many jamo onto the last embedding row) — fail fast
-    # on that; an oversized table is merely wasteful, so only warn.
-    if hp.symbol_type != 1 and tuple(hp.text_cleaners) != ("english_cleaners",):
+    # Validate n_symbols against the ACTIVE symbol inventory — every cleaner
+    # combo except pure-English routes through the Korean tables
+    # (text/__init__.py::_tables), pure-English uses eng_symbols (65).
+    # Ids >= n_symbols would be silently CLAMPED by XLA's gather semantics
+    # (aliasing many symbols onto the last embedding row) — fail fast on
+    # that; an oversized table is merely wasteful, so only warn.
+    if tuple(hp.text_cleaners) == ("english_cleaners",):
+        from .text.symbols import eng_symbols
+
+        n_inv = len(eng_symbols)
+        inv_desc = "english_cleaners inventory"
+    else:
         from .text import change_symbol
 
         n_inv = len(change_symbol(hp.symbol_type))
-        if hp.n_symbols < n_inv:
-            raise ValueError(
-                f"symbol_type={hp.symbol_type} has {n_inv} symbols but "
-                f"n_symbols={hp.n_symbols}: ids >= {hp.n_symbols} would be "
-                f"silently clamped in the embedding lookup. Set "
-                f"n_symbols={n_inv}."
-            )
-        if hp.n_symbols != n_inv:
-            import warnings
+        inv_desc = f"symbol_type={hp.symbol_type}"
+    if hp.n_symbols < n_inv:
+        raise ValueError(
+            f"{inv_desc} has {n_inv} symbols but "
+            f"n_symbols={hp.n_symbols}: ids >= {hp.n_symbols} would be "
+            f"silently clamped in the embedding lookup. Set "
+            f"n_symbols={n_inv}."
+        )
+    if hp.n_symbols != n_inv:
+        import warnings
 
-            warnings.warn(
-                f"symbol_type={hp.symbol_type} has {n_inv} symbols but "
-                f"n_symbols={hp.n_symbols}; set n_symbols={n_inv} so the "
-                "embedding table matches the inventory.",
-                stacklevel=2,
-            )
+        warnings.warn(
+            f"{inv_desc} has {n_inv} symbols but "
+            f"n_symbols={hp.n_symbols}; set n_symbols={n_inv} so the "
+            "embedding table matches the inventory.",
+            stacklevel=2,
+        )
     return hp

@@ -138,7 +138,11 @@ def shard_train_state(ts, mesh: Mesh):
         ts.model_state, NamedSharding(mesh, _REPLICATED)
     )
     step = jax.device_put(ts.step, NamedSharding(mesh, _REPLICATED))
-    return TrainState(step, params, model_state, opt_state)
+    scaler = (
+        jax.device_put(ts.scaler, NamedSharding(mesh, _REPLICATED))
+        if ts.scaler is not None else None
+    )
+    return TrainState(step, params, model_state, opt_state, scaler)
 
 
 def make_parallel_train_step(hp, mesh: Mesh, learning_rate=None):

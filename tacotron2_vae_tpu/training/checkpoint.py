@@ -33,6 +33,8 @@ def save_checkpoint(ts: TrainState, learning_rate: float, output_dir: str,
         "model_state": _to_host(ts.model_state),
         "opt_state": _to_host(ts.opt_state),
     }
+    if ts.scaler is not None:  # fp16_run: persist the dynamic loss scale
+        payload["scaler"] = list(_to_host(ts.scaler))
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     return path
@@ -48,8 +50,20 @@ def load_checkpoint(path: str, ts: TrainState) -> tuple[TrainState, int, float]:
         "model_state": _to_host(ts.model_state),
         "opt_state": _to_host(ts.opt_state),
     }
-    payload = ckptr.restore(os.path.abspath(path), item=template)
+    if ts.scaler is not None:
+        template["scaler"] = list(_to_host(ts.scaler))
+    try:
+        payload = ckptr.restore(os.path.abspath(path), item=template)
+    except Exception:
+        if "scaler" not in template:
+            raise
+        # Pre-fp16 checkpoint resumed with fp16_run=True: keep a fresh scaler.
+        template.pop("scaler")
+        payload = ckptr.restore(os.path.abspath(path), item=template)
     iteration = int(payload["iteration"])
+    scaler = ts.scaler
+    if ts.scaler is not None and payload.get("scaler") is not None:
+        scaler = type(ts.scaler)(*payload["scaler"])
     new_ts = TrainState(
         step=jax.numpy.asarray(iteration, jax.numpy.int32),
         params=payload["params"],
@@ -58,6 +72,7 @@ def load_checkpoint(path: str, ts: TrainState) -> tuple[TrainState, int, float]:
             lambda t, s: jax.numpy.asarray(s, getattr(t, "dtype", None)),
             ts.opt_state, payload["opt_state"],
         ),
+        scaler=scaler,
     )
     return new_ts, iteration, float(payload["learning_rate"])
 

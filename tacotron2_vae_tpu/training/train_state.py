@@ -1,10 +1,16 @@
 """Train state and the jitted train/eval steps.
 
 Replaces the reference's torch Adam + clip_grad_norm loop body
-(train.py:204-232) and the entire fp16 master-weights stack
-(fp16_optimizer.py, loss_scaler.py): on TPU the matmuls run in bfloat16 —
-which has fp32 exponent range — so no loss scaling is needed; parameters and
-optimizer moments stay fp32.
+(train.py:204-232); on TPU the default matmul dtype is bfloat16 — which has
+fp32 exponent range — so no loss scaling is needed; parameters and optimizer
+moments stay fp32.
+
+``fp16_run=True`` engages the reference's true-fp16 path
+(fp16_optimizer.py:51-383, loss_scaler.py:35-80): compute dtype float16,
+loss scaled by a (dynamic) loss scale, grads unscaled, and a non-finite
+gradient skips the whole update and halves the scale (x2 after every
+``scale_window`` clean steps) — same overflow-skip semantics as
+fp16_optimizer.py:255-260.
 
 Optimizer semantics match torch.optim.Adam(lr, weight_decay) exactly:
 gradient clip (1.0 global norm) -> L2 weight decay added to the gradient ->
@@ -21,6 +27,7 @@ import optax
 
 from ..models import tacotron2
 from .loss import tacotron2_vae_loss
+from .loss_scaler import DynamicLossScaler, DynamicScalerState
 
 
 class TrainState(NamedTuple):
@@ -28,6 +35,9 @@ class TrainState(NamedTuple):
     params: Any
     model_state: Any           # batchnorm running stats
     opt_state: Any
+    # fp16_run only: DynamicScalerState (None otherwise — an empty pytree
+    # node, so every tree_map/jit over TrainState is unaffected).
+    scaler: Any = None
 
 
 def make_optimizer(hp, learning_rate=None):
@@ -41,22 +51,42 @@ def make_optimizer(hp, learning_rate=None):
     )
 
 
+def make_loss_scaler(hp) -> DynamicLossScaler | None:
+    """fp16_run's scaler (reference loss_scaler.py): dynamic by default
+    (init 2^32, /2 on overflow with floor 1, x2 every 1000 clean steps);
+    ``dynamic_loss_scaling=False`` falls back to a static scale of 1
+    (reference fp16_optimizer.py default static_loss_scale=1.0), expressed
+    here as a dynamic scaler whose scale never moves off its floor."""
+    if not hp.fp16_run:
+        return None
+    if hp.dynamic_loss_scaling:
+        return DynamicLossScaler()
+    return DynamicLossScaler(init_scale=1.0, scale_factor=1.0, scale_window=2 ** 31)
+
+
 def create_train_state(rng, hp, learning_rate=None) -> TrainState:
     params, model_state = tacotron2.init(rng, hp)
     opt = make_optimizer(hp, learning_rate)
+    scaler = make_loss_scaler(hp)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         model_state=model_state,
         opt_state=opt.init(params),
+        scaler=scaler.init() if scaler is not None else None,
     )
 
 
 def make_train_step(hp, learning_rate=None):
     """Returns a pure (state, batch, rng) -> (state, metrics) step function."""
     opt = make_optimizer(hp, learning_rate)
+    scaler = make_loss_scaler(hp)
+    if hp.fp16_run:
+        hp = hp.replace(compute_dtype="float16")
 
     def train_step(ts: TrainState, batch, rng):
+        scale = ts.scaler.scale if scaler is not None else jnp.float32(1.0)
+
         def loss_fn(params):
             out, new_mstate = tacotron2.forward(
                 params, ts.model_state, batch, hp, train=True, rng=rng
@@ -64,19 +94,28 @@ def make_train_step(hp, learning_rate=None):
             total, aux = tacotron2_vae_loss(
                 out, batch["mel"], batch["gate"], ts.step, hp
             )
-            return total, (aux, new_mstate)
+            return total * scale, (total, aux, new_mstate)
 
-        (total, (aux, new_mstate)), grads = jax.value_and_grad(
+        (_, (total, aux, new_mstate)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(ts.params)
+        if scaler is not None:
+            # fp16 grads can overflow to inf; pin them to ONE materialization
+            # so the overflow check and the optimizer see the same values
+            # (without the barrier XLA may recompute a consumer's copy with
+            # different fusion, letting a poisoned update slip past the
+            # finite-looking grad norm).
+            grads = jax.lax.optimization_barrier(grads)
+            grads = jax.tree_util.tree_map(lambda g: g / scale, grads)
 
         grad_norm = optax.global_norm(grads)
         updates, new_opt_state = opt.update(grads, ts.opt_state, ts.params)
         new_params = optax.apply_updates(ts.params, updates)
 
-        # NaN guard (reference train.py:233 skips logging/stepping on overflow
-        # via the fp16 path; here a non-finite loss skips the whole update).
-        ok = jnp.isfinite(total)
+        # Overflow/NaN guard: a non-finite loss or gradient skips the whole
+        # update (reference fp16_optimizer.py:255-260 skips the step on grad
+        # overflow; train.py:233 skips logging on NaN loss).
+        ok = jnp.isfinite(total) & jnp.isfinite(grad_norm)
         new_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(ok, new, old), new_params, ts.params
         )
@@ -88,7 +127,13 @@ def make_train_step(hp, learning_rate=None):
         )
 
         metrics = {"loss": total, "grad_norm": grad_norm, **aux}
-        new_ts = TrainState(ts.step + 1, new_params, new_mstate, new_opt_state)
+        new_scaler = ts.scaler
+        if scaler is not None:
+            new_scaler = scaler.update(ts.scaler, ~ok)
+            metrics["loss_scale"] = ts.scaler.scale
+        new_ts = TrainState(
+            ts.step + 1, new_params, new_mstate, new_opt_state, new_scaler
+        )
         return new_ts, metrics
 
     return train_step
@@ -101,6 +146,8 @@ def make_eval_step(hp):
     dropout stays ON, as in the reference's model.eval() semantics
     (F.dropout(training=True) ignores eval mode, model.py:101).
     """
+    if hp.fp16_run:
+        hp = hp.replace(compute_dtype="float16")
 
     def eval_step(ts: TrainState, batch, rng):
         out, _ = tacotron2.forward(
