@@ -103,6 +103,28 @@ class TextMelDataset:
         mel = np.asarray(self.stft.mel_spectrogram(audio[None]))[0]
         return mel.astype(np.float32)
 
+    def max_lengths(self) -> tuple[int, int]:
+        """(max_text_len, max_mel_frames) over the dataset from cheap
+        metadata only — token counts, and wav sample counts from the file
+        header (mel frames = samples // hop + 1, dsp/stft.py framing) or the
+        .npy header.  Multi-host training pads every batch to these fixed
+        shapes so all hosts produce identical global array shapes."""
+        max_s = max(len(self.get_text(e[1])) for e in self.entries)
+        if self.load_mel_from_disk:
+            max_t = max(
+                int(np.load(e[0], mmap_mode="r").shape[1])
+                for e in self.entries
+            )
+        else:
+            import wave
+
+            def frames(path):
+                with wave.open(path, "rb") as w:
+                    return w.getnframes() // self.hp.hop_length + 1
+
+            max_t = max(frames(e[0]) for e in self.entries)
+        return max_s, max_t
+
     def get_onehot(self, index: str, n: int) -> np.ndarray:
         v = np.zeros(n, np.float32)
         v[int(index)] = 1.0
@@ -169,6 +191,7 @@ class DataLoader:
         drop_last: bool = True,
         shard: tuple[int, int] = (0, 1),
         seed: int | None = None,
+        fixed_lengths: tuple[int, int] | None = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -177,6 +200,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.rank, self.world = shard
         self.seed = hp.seed if seed is None else seed
+        # (text_len, mel_len) to pad every batch to; required when world > 1
+        # so all hosts emit identical shapes for the same global step.
+        self.fixed_lengths = fixed_lengths
 
     def __len__(self) -> int:
         n = len(self.ds) // self.world
@@ -196,9 +222,12 @@ class DataLoader:
             if len(chunk) == 0:
                 break
             items = [self.ds[int(i)] for i in chunk]
+            fixed_s, fixed_t = self.fixed_lengths or (None, None)
             yield collate(
                 items,
                 self.hp.n_frames_per_step,
                 text_bucket=self.hp.text_bucket_size,
                 mel_bucket=self.hp.mel_bucket_size,
+                fixed_text_len=fixed_s,
+                fixed_mel_len=fixed_t,
             )

@@ -4,6 +4,7 @@ from .mesh import (  # noqa: F401
     batch_shardings,
     make_mesh,
     make_parallel_train_step,
+    opt_state_shardings,
     param_shardings,
     shard_batch,
     shard_train_state,

@@ -106,34 +106,54 @@ def batch_shardings(batch_like, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch onto the mesh, batch dim split over 'data'."""
-    return {
-        k: jax.device_put(v, NamedSharding(mesh, P("data")))
-        for k, v in batch.items()
-    }
+    """Place a host batch onto the mesh, batch dim split over 'data'.
+
+    Multi-host: each process passes only ITS per-host slice (disjoint rows
+    from the DataLoader shard) and the slices assemble into one global
+    array (the device_put equivalent of DistributedSampler + NCCL scatter).
+    """
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            for k, v in batch.items()
+        }
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def opt_state_shardings(opt_state, params, mesh: Mesh):
+    """Sharding pytree for the optimizer state, matched STRUCTURALLY.
+
+    Any opt-state subtree whose pytree structure equals the params tree
+    (optax's Adam mu/nu mirror it exactly) gets the params' shardings;
+    every other leaf (step counts, empty states) is replicated.  Structural
+    matching cannot be fooled by two different params sharing a shape —
+    the hazard of shape-based matching.
+    """
+    p_shard = param_shardings(params, mesh)
+    p_def = jax.tree_util.tree_structure(params)
+    rep = NamedSharding(mesh, _REPLICATED)
+
+    def is_param_tree(x):
+        return jax.tree_util.tree_structure(x) == p_def
+
+    return jax.tree_util.tree_map(
+        lambda x: p_shard if is_param_tree(x) else rep,
+        opt_state, is_leaf=is_param_tree,
+    )
 
 
 def shard_train_state(ts, mesh: Mesh):
-    """Place a TrainState: tp-sharded params, replicated everything else."""
+    """Place a TrainState: tp-sharded params (+ matching Adam moments),
+    replicated everything else."""
     from ..training.train_state import TrainState
 
     p_shard = param_shardings(ts.params, mesh)
     params = jax.tree_util.tree_map(jax.device_put, ts.params, p_shard)
-    # Adam moments mirror the param pytree inside ScaleByAdamState: shard any
-    # leaf whose shape matches a param leaf the same way; replicate the rest.
-    by_shape = {}
-    for path, leaf in _tree_paths(ts.params):
-        by_shape.setdefault(getattr(leaf, "shape", ()), []).append(
-            _param_spec(path, leaf)
-        )
-
-    def place(x):
-        shape = getattr(x, "shape", ())
-        specs = by_shape.get(shape)
-        spec = specs[0] if specs and all(s == specs[0] for s in specs) else _REPLICATED
-        return jax.device_put(x, NamedSharding(mesh, spec))
-
-    opt_state = jax.tree_util.tree_map(place, ts.opt_state)
+    opt_state = jax.tree_util.tree_map(
+        jax.device_put, ts.opt_state,
+        opt_state_shardings(ts.opt_state, ts.params, mesh),
+    )
     model_state = jax.device_put(
         ts.model_state, NamedSharding(mesh, _REPLICATED)
     )

@@ -29,9 +29,31 @@ from .loss import tacotron2_vae_loss
 
 
 def prepare_dataloaders(hp, shard=(0, 1)):
+    """Build train/val loaders.  ``shard=(rank, world)`` gives this host a
+    disjoint 1/world slice of every epoch's permutation with a per-host
+    batch of ``hp.batch_size // world`` (the DistributedSampler equivalent,
+    reference train.py:59-60; global batch stays hp.batch_size)."""
+    rank, world = shard
+    if world > 1 and hp.batch_size % world != 0:
+        raise ValueError(
+            f"batch_size={hp.batch_size} not divisible by process count {world}"
+        )
+    per_host_batch = hp.batch_size // world
     trainset = TextMelDataset(hp.training_files, hp)
     valset = TextMelDataset(hp.validation_files, hp, shuffle=False)
-    train_loader = DataLoader(trainset, hp.batch_size, hp, shuffle=True, shard=shard)
+    fixed = None
+    if world > 1:
+        # All hosts must emit identical batch shapes for the same global
+        # step: pad to the dataset-wide maxima (rounded to the buckets).
+        import math
+
+        max_s, max_t = trainset.max_lengths()
+        fixed = (
+            math.ceil(max_s / hp.text_bucket_size) * hp.text_bucket_size,
+            math.ceil(max_t / hp.mel_bucket_size) * hp.mel_bucket_size,
+        )
+    train_loader = DataLoader(trainset, per_host_batch, hp, shuffle=True,
+                              shard=shard, fixed_lengths=fixed)
     val_loader = DataLoader(valset, hp.batch_size, hp, shuffle=False, drop_last=False)
     return train_loader, val_loader
 
@@ -95,7 +117,11 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
     train_step = make_parallel_train_step(hp, mesh, learning_rate)
     eval_step = jax.jit(make_eval_step(hp))
 
-    train_loader, val_loader = prepare_dataloaders(hp)
+    # Per-host data sharding (the DistributedSampler equivalent): each host
+    # featurizes only its disjoint 1/world slice of every global batch.
+    train_loader, val_loader = prepare_dataloaders(
+        hp, shard=(jax.process_index(), jax.process_count())
+    )
     epoch_offset = max(0, iteration // max(len(train_loader), 1))
 
     logger = None

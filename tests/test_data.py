@@ -97,6 +97,61 @@ def test_dataloader_sharding(hp):
     assert all(x != y for x, y in zip(b0, b1))
 
 
+def test_prepare_dataloaders_multihost_disjoint_coverage(hp):
+    """prepare_dataloaders(shard=(r, world)): the hosts' slices of each
+    global step are disjoint and their union covers the global batch
+    (DistributedSampler semantics, reference train.py:59-60)."""
+    from tacotron2_vae_tpu.training.train import prepare_dataloaders
+
+    hp2 = hp.replace(batch_size=4)
+    world = 2
+    per_host = []
+    for rank in range(world):
+        tl, _ = prepare_dataloaders(hp2, shard=(rank, world))
+        assert tl.batch_size == hp2.batch_size // world
+        batches = list(tl.epoch(0))
+        assert len(batches) == 1
+        # identify items by their (unpadded) text id tuple
+        ids = {
+            tuple(b.text[i, : b.input_lengths[i]].tolist())
+            for b in batches for i in range(b.text.shape[0])
+        }
+        per_host.append(ids)
+        # fixed multi-host shapes: padded to the dataset-wide bucketed max
+        assert batches[0].text.shape[1] == tl.fixed_lengths[0]
+        assert batches[0].mel.shape[2] % hp2.mel_bucket_size == 0
+    assert per_host[0].isdisjoint(per_host[1])
+    assert len(per_host[0] | per_host[1]) == 4  # full coverage
+
+
+def test_prepare_dataloaders_rejects_indivisible_batch(hp):
+    from tacotron2_vae_tpu.training.train import prepare_dataloaders
+
+    with pytest.raises(ValueError, match="not divisible"):
+        prepare_dataloaders(hp.replace(batch_size=3), shard=(0, 2))
+
+
+def test_max_lengths_matches_featurized(hp):
+    """Header-derived max lengths must match the real featurized maxima."""
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    max_s, max_t = ds.max_lengths()
+    real_s = max(len(ds[i][0]) for i in range(len(ds)))
+    real_t = max(ds[i][1].shape[1] for i in range(len(ds)))
+    assert max_s == real_s
+    assert max_t == real_t
+
+
+def test_dataloader_fixed_lengths_uniform_shapes(hp):
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    max_s, max_t = ds.max_lengths()
+    dl = DataLoader(ds, 2, hp, shuffle=False,
+                    fixed_lengths=(max_s + 5, max_t + 10))
+    shapes = {(b.text.shape, b.mel.shape, b.gate.shape) for b in dl.epoch(0)}
+    assert shapes == {
+        ((2, max_s + 5), (2, 80, max_t + 10), (2, max_t + 10))
+    }
+
+
 def test_end_to_end_train_and_resume(hp, tmp_path):
     from tacotron2_vae_tpu.training.train import train
     from tacotron2_vae_tpu.training.checkpoint import (
