@@ -109,16 +109,21 @@ class Handler(BaseHTTPRequestHandler):
                 return self._send(400, b'{"success": false}')
             return self._send_file(path, "audio/wav")
 
-        for prefix, sub in (("/js/", "static/js"), ("/css/", "static/css"),
-                            ("/audio/", "static/audio"),
-                            ("/uploads/", "static/uploads")):
+        for prefix, base, sub in (
+            ("/js/", _WEB, "static/js"), ("/css/", _WEB, "static/css"),
+            ("/audio/", _WEB, "static/audio"),
+            ("/uploads/", _WEB, "static/uploads"),
+            ("/samples/", _BASE, "samples"),  # shipped demo ref wavs
+        ):
             if route.startswith(prefix):
-                rel = route[len(prefix):]
+                rel = os.path.normpath(route[len(prefix):]).lstrip("/")
+                if rel.startswith(".."):
+                    return self._send(404, b'{"success": false}')
                 ctype = {
                     ".js": "application/javascript", ".css": "text/css",
                     ".wav": "audio/wav", ".txt": "text/plain",
                 }.get(os.path.splitext(rel)[1], "application/octet-stream")
-                return self._send_file(os.path.join(_WEB, sub, rel), ctype)
+                return self._send_file(os.path.join(base, sub, rel), ctype)
 
         # generated audio
         if route.startswith(f"/{AUDIO_DIR}/"):

@@ -66,6 +66,7 @@ class Synthesizer:
         )
         self._rng = jax.random.PRNGKey(hp.seed)
         self._synth_jit = None
+        self.centroids_loaded = False
 
     # ------------------------------------------------------------------
 
@@ -98,16 +99,42 @@ class Synthesizer:
                 "web", "static", "uploads", "koemo_spk_emo_all_test.txt"
             )
         if os.path.exists(centroid_filelist):
-            self._load_centroids(checkpoint_path, centroid_filelist)
+            n = self._load_centroids(checkpoint_path, centroid_filelist)
+            self.centroids_loaded = n > 0
+            if n == 0:
+                import warnings
+
+                warnings.warn(
+                    f"Centroid filelist {centroid_filelist!r} exists but "
+                    "none of its wav paths could be read — emotion "
+                    "centroids are ZERO.", stacklevel=2,
+                )
         else:
             # No filelist available: zero centroids (ratio path degrades to
-            # the prior mean).
+            # the prior-mean style fc3(0)) — warn loudly, this is almost
+            # never what the caller wants (reference synthesizer.py:86-110
+            # always precomputes real centroids).
+            import warnings
+
+            warnings.warn(
+                f"Centroid filelist not found: {centroid_filelist!r}. "
+                "Emotion centroids are ZERO — the ratio/interpolation style "
+                "paths will emit the prior-mean style for every request. "
+                "Pass centroid_filelist= pointing at a "
+                "path|text|speaker|emotion manifest whose wavs exist "
+                "(e.g. web/static/uploads/koemo_spk_emo_all_test.txt).",
+                stacklevel=2,
+            )
             z = np.zeros(self.hparams.z_latent_dim, np.float32)
             self.neu = self.sad = self.ang = self.hap = z
+            self.centroids_loaded = False
 
-    def _load_centroids(self, checkpoint_path: str, filelist: str):
+    def _load_centroids(self, checkpoint_path: str, filelist: str) -> int:
         """Per-emotion latent centroids, cached to .npz beside the checkpoint
-        (reference synthesizer.py:82-110)."""
+        (reference synthesizer.py:82-110).  Entries whose wav can't be read
+        are skipped with a warning (the shipped dataset manifests carry the
+        original corpus' absolute paths).  Returns the number of entries
+        actually embedded."""
         base = os.path.dirname(os.path.abspath(checkpoint_path))
         tag = os.path.basename(filelist).rsplit("_", 1)[-1].split(".")[0]
         npz_path = os.path.join(
@@ -122,22 +149,44 @@ class Synthesizer:
                 for line in open(filelist, encoding="utf-8")
                 if line.strip()
             ]
-            zs, emotions = [], []
+            zs, emotions, skipped = [], [], 0
             for audio_path, _text, _spk, emotion in entries:
-                mel = self.load_mel(audio_path)
+                try:
+                    mel = self.load_mel(audio_path)
+                except (FileNotFoundError, OSError, ValueError):
+                    skipped += 1
+                    continue
                 (_, _, _, z), _ = vae_gst.apply(
                     self.params["vae_gst"], self.model_state["vae_gst"],
                     mel, train=False,
                 )
                 zs.append(np.asarray(z)[0])
                 emotions.append(int(emotion))
+            if skipped:
+                import warnings
+
+                warnings.warn(
+                    f"Centroid precompute: skipped {skipped}/{len(entries)} "
+                    f"unreadable wavs from {filelist!r}.", stacklevel=2,
+                )
+            if not zs:
+                z0 = np.zeros(self.hparams.z_latent_dim, np.float32)
+                self.neu = self.sad = self.ang = self.hap = z0
+                return 0
             zs = np.stack(zs)
             emotions = np.asarray(emotions)
             np.savez(npz_path, zs=zs, emotions=emotions)
-        self.neu = zs[emotions == 0].mean(axis=0)
-        self.sad = zs[emotions == 1].mean(axis=0)
-        self.ang = zs[emotions == 2].mean(axis=0)
-        self.hap = zs[emotions == 3].mean(axis=0)
+
+        def centroid(e):
+            sel = zs[emotions == e]
+            return (sel.mean(axis=0) if len(sel)
+                    else np.zeros(self.hparams.z_latent_dim, np.float32))
+
+        # Emotion label order [neu, sad, ang, hap] (synthesizer.py:102-105).
+        self.neu, self.sad, self.ang, self.hap = (
+            centroid(0), centroid(1), centroid(2), centroid(3)
+        )
+        return int(len(zs))
 
     # ------------------------------------------------------------------
 
@@ -153,6 +202,14 @@ class Synthesizer:
     def style_from_ratios(self, ratios: Sequence[float]) -> jnp.ndarray:
         """Style embedding from emotion ratios [neu, sad, hap, ang]
         (synthesizer.py:127-131)."""
+        if not getattr(self, "centroids_loaded", True):
+            import warnings
+
+            warnings.warn(
+                "synthesize() called with emotion ratios but no centroids "
+                "are loaded (zero fallback): the ratios have no effect.",
+                stacklevel=2,
+            )
         z = (
             ratios[0] * self.neu + ratios[1] * self.sad
             + ratios[2] * self.hap + ratios[3] * self.ang
@@ -164,6 +221,13 @@ class Synthesizer:
     def interpolate(self, emotion_a: str, emotion_b: str, alpha: float):
         """Latent interpolation between two emotion centroids
         (inference.ipynb recipe, README.md:189-221)."""
+        if not getattr(self, "centroids_loaded", True):
+            import warnings
+
+            warnings.warn(
+                "interpolate() called but no centroids are loaded (zero "
+                "fallback): interpolation has no effect.", stacklevel=2,
+            )
         za = getattr(self, emotion_a)
         zb = getattr(self, emotion_b)
         z = (1.0 - alpha) * za + alpha * zb

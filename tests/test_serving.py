@@ -126,6 +126,99 @@ def test_griffin_lim_fallback(artifacts, tmp_path):
     assert len(wav) > 100 and np.isfinite(wav).all()
 
 
+def test_demo_ref_static_routes():
+    """The demo's random-ref flow: /uploads/demo_refs.txt resolves, and the
+    wavs it lists are servable via /samples/ (no 404s out of the box)."""
+    from tacotron2_vae_tpu.serving import app as app_mod
+
+    server = app_mod.make_server(0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/uploads/demo_refs.txt"
+        ) as r:
+            assert r.status == 200
+            lines = r.read().decode("utf-8").strip().split("\n")
+        assert len(lines) == 8
+        wav = lines[0].split("|")[0]  # samples/refs/ref_neu.wav
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/{wav}") as r:
+            assert r.status == 200
+            assert r.read(4) == b"RIFF"
+        # the reference's dataset manifest is also served
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/uploads/koemo_spk_emo_all_test.txt"
+        ) as r:
+            assert r.status == 200
+    finally:
+        server.shutdown()
+
+
+def test_missing_centroid_filelist_warns_loudly(artifacts, tmp_path):
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    d, hp, ckpt, _, _ = artifacts
+    synth = Synthesizer(hp)
+    with pytest.warns(UserWarning, match="centroids are ZERO"):
+        synth.load(ckpt, None,
+                   centroid_filelist=str(tmp_path / "nonexistent.txt"))
+    assert not synth.centroids_loaded
+    with pytest.warns(UserWarning, match="ratios have no effect"):
+        synth.style_from_ratios([1.0, 0.0, 0.0, 0.0])
+    with pytest.warns(UserWarning, match="no effect"):
+        synth.interpolate("neu", "hap", 0.5)
+
+
+def test_centroid_precompute_skips_unreadable_wavs(artifacts, tmp_path):
+    """Shipped dataset manifests carry the original corpus' absolute paths;
+    precompute must skip what it can't read and still embed the rest."""
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    d, hp, ckpt, _, filelist = artifacts
+    mixed = str(tmp_path / "mixed.txt")
+    with open(filelist, encoding="utf-8") as f:
+        lines = f.read().strip().split("\n")
+    lines.insert(0, "/home/jinhan/Storage/KoreanEmotionSpeech/missing.wav|x|0|0")
+    with open(mixed, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    ckpt2 = str(tmp_path / "model2.pkl")
+    import shutil
+
+    shutil.copy(ckpt, ckpt2)
+    synth = Synthesizer(hp)
+    with pytest.warns(UserWarning, match="skipped 1/5"):
+        synth.load(ckpt2, None, centroid_filelist=mixed)
+    assert synth.centroids_loaded
+    assert synth.neu.shape == (hp.z_latent_dim,)
+
+
+def test_shipped_serving_data_contract():
+    """The filelists + uploads manifests the reference ships must exist and
+    parse (reference filelists/, web/static/uploads/)."""
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names = [
+        "koemo_spk_emo_all_train.txt", "koemo_spk_emo_all_valid.txt",
+        "koemo_spk_emo_all_test.txt", "koemo_spk_emo_all6_train.txt",
+        "koemo_spk_emo_all6_valid.txt", "koemo_spk_emo_all6_test.txt",
+        "iemocap_spk_emo_all_train.txt", "iemocap_spk_emo_all_valid.txt",
+        "iemocap_spk_emo_all_test.txt",
+    ]
+    for name in names:
+        path = os.path.join(base, "filelists", name)
+        assert os.path.exists(path), name
+        with open(path, encoding="utf-8") as f:
+            first = f.readline().strip().split("|")
+        assert len(first) == 4  # path|text|speaker|emotion
+    uploads = os.path.join(base, "web", "static", "uploads")
+    assert os.path.exists(os.path.join(uploads, "koemo_spk_emo_all_test.txt"))
+    # demo_refs.txt points at wavs that actually ship in the repo
+    with open(os.path.join(uploads, "demo_refs.txt"), encoding="utf-8") as f:
+        for line in f:
+            wav = line.strip().split("|")[0]
+            assert os.path.exists(os.path.join(base, wav)), wav
+
+
 def test_http_api(artifacts, tmp_path, monkeypatch):
     from tacotron2_vae_tpu.serving import app as app_mod
 

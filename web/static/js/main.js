@@ -20,8 +20,17 @@
   });
 
   document.getElementById("random-ref").addEventListener("click", function () {
-    fetch("/uploads/koemo_spk_emo_all_test.txt")
-      .then(function (r) { return r.text(); })
+    // Prefer the shipped demo refs (wavs exist in samples/refs/); fall back
+    // to the dataset test manifest (paths valid only with the koemo corpus).
+    fetch("/uploads/demo_refs.txt")
+      .then(function (r) {
+        if (!r.ok) return fetch("/uploads/koemo_spk_emo_all_test.txt")
+          .then(function (r2) {
+            if (!r2.ok) throw new Error("HTTP " + r2.status);
+            return r2.text();
+          });
+        return r.text();
+      })
       .then(function (txt) {
         var lines = txt.trim().split("\n");
         var line = lines[Math.floor(Math.random() * lines.length)];
