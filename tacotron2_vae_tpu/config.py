@@ -163,6 +163,14 @@ class HParams:
     # Compute dtype inside the decoder recurrence; fp32 measures fastest at
     # small batch on v5e (weights stay VMEM-resident either way).
     decoder_scan_dtype: str = "float32"
+    # VAE reference-encoder input layout.  False (default, deliberate fix):
+    # a true transpose to a (B, T, n_mels) time/frequency image.  True:
+    # bug-compatible with reference modules.py:67, which raw-memory-reshapes
+    # the (B, n_mel, T) mel via .view(N, 1, -1, n_mels) — each image row is
+    # n_mels consecutive TIME samples of one mel channel, scrambling
+    # channel/time.  Upstream pretrained checkpoints were trained on that
+    # layout: set True when serving weights converted from the reference.
+    ref_enc_raw_reshape: bool = False
 
     # ------------------------------------------------------------------
 

@@ -103,6 +103,7 @@ def forward(
     (prosody, mu, logvar, z), vae_state = vae_mod.apply(
         params["vae_gst"], state["vae_gst"], batch["mel"],
         train=train, rng=r_vae, dtype=dtype,
+        raw_reshape=getattr(hp, "ref_enc_raw_reshape", False),
     )
     memory = transcript + prosody[:, None, :]  # broadcast add (model.py:535-537)
 

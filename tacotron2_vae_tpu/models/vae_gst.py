@@ -111,13 +111,27 @@ def add_coords_3d(x: jnp.ndarray, with_r: bool = False) -> jnp.ndarray:
     return out
 
 
-def reference_encoder(params, state, mel, *, train: bool, dtype=None):
+def reference_encoder(params, state, mel, *, train: bool, dtype=None,
+                      raw_reshape: bool = False):
     """mel: (B, n_mels, T) -> (B, E//2) prosody summary.
 
     Reference modules.py:65-80: view as (B,1,T,n_mels) image, 6 stride-2
     convs (first CoordConv), BN+ReLU, flatten freq x channel, GRU, final state.
+
+    Input layout (documented deviation, see config.ref_enc_raw_reshape):
+    the reference's ``inputs.contiguous().view(N, 1, -1, n_mels)``
+    (modules.py:67) is a RAW-MEMORY reshape of the (B, n_mel, T) mel — each
+    image row is n_mels consecutive time samples of one mel channel, NOT a
+    (time, frequency) patch.  The default here is the corrected true
+    transpose; ``raw_reshape=True`` reproduces the reference layout
+    bit-for-bit for converted upstream checkpoints (whose conv weights were
+    trained on the scrambled image).
     """
-    x = jnp.swapaxes(mel, 1, 2)[..., None]  # (B, T, n_mels, 1) NHWC
+    if raw_reshape:
+        # numpy/jax row-major == torch contiguous: same buffer reinterpretation
+        x = mel.reshape(mel.shape[0], -1, mel.shape[1])[..., None]  # NHWC
+    else:
+        x = jnp.swapaxes(mel, 1, 2)[..., None]  # (B, T, n_mels, 1) NHWC
     new_bns = []
     for i, (cp, bp) in enumerate(zip(params["convs"], params["bns"])):
         if i == 0:
@@ -134,12 +148,16 @@ def reference_encoder(params, state, mel, *, train: bool, dtype=None):
     return h_final, {"bns": new_bns}
 
 
-def apply(params, state, mel, *, train: bool, rng=None, dtype=None):
+def apply(params, state, mel, *, train: bool, rng=None, dtype=None,
+          raw_reshape: bool = False):
     """VAE forward: mel (B, n_mels, T) -> (style_embed, mu, logvar, z), state.
 
     Training samples z = mu + eps*std; eval returns mu (modules.py:16-22).
+    ``raw_reshape`` selects the reference-compatible input layout (see
+    ``reference_encoder``).
     """
-    enc, new_state = reference_encoder(params, state, mel, train=train, dtype=dtype)
+    enc, new_state = reference_encoder(params, state, mel, train=train,
+                                       dtype=dtype, raw_reshape=raw_reshape)
     mu = linear(params["fc1"], enc)
     logvar = linear(params["fc2"], enc)
     if train:

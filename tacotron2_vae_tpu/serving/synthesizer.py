@@ -159,6 +159,7 @@ class Synthesizer:
                 (_, _, _, z), _ = vae_gst.apply(
                     self.params["vae_gst"], self.model_state["vae_gst"],
                     mel, train=False,
+                    raw_reshape=self.hparams.ref_enc_raw_reshape,
                 )
                 zs.append(np.asarray(z)[0])
                 emotions.append(int(emotion))
@@ -195,7 +196,7 @@ class Synthesizer:
         mel = self.load_mel(ref_audio)
         (style, _, _, _), _ = vae_gst.apply(
             self.params["vae_gst"], self.model_state["vae_gst"], mel,
-            train=False,
+            train=False, raw_reshape=self.hparams.ref_enc_raw_reshape,
         )
         return style[0]
 

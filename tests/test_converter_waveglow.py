@@ -133,3 +133,22 @@ def test_full_converted_model_infers():
     wav = wg.infer(params, mel, CFG, sigma=0.666)
     assert np.isfinite(np.asarray(wav)).all()
     assert wav.shape[1] > 0
+
+
+@pytest.mark.slow
+def test_production_config_convert_and_infer():
+    """The REAL WaveGlow shape (12 flows, 256 channels, 8 WN layers,
+    1024/256 upsampler — NVIDIA waveglow_256channels): converter handles
+    every early-output split and inference stays finite end-to-end."""
+    cfg = wg.WaveGlowConfig()  # production defaults
+    sd = _build_torch_waveglow_sd(cfg, seed=2)
+    params = convert_waveglow({k: v.numpy() for k, v in sd.items()}, cfg)
+    assert len(params["flows"]) == cfg.n_flows
+    # channel bookkeeping across n_early_every splits
+    chans = cfg.audio_channels()
+    assert chans[0] == cfg.n_group and len(chans) == cfg.n_flows
+    mel = jnp.asarray(np.random.RandomState(3).randn(1, 80, 6)
+                      .astype(np.float32) * 0.3)
+    wav = wg.infer(params, mel, cfg, sigma=0.666)
+    assert np.isfinite(np.asarray(wav)).all()
+    assert wav.shape[1] == 6 * cfg.upsample_stride

@@ -140,9 +140,15 @@ def build_torch_model(hp, seed=0):
     return m
 
 
-def torch_forward(m, hp, text, lengths, mel):
+def torch_forward(m, hp, text, lengths, mel, raw_layout=False):
     """CPU transcription of the reference teacher-forced forward, eval mode
-    (model.py:522-547 with dropout off, z=mu)."""
+    (model.py:522-547 with dropout off, z=mu).
+
+    raw_layout=True feeds the VAE encoder the reference's ACTUAL input —
+    the raw-memory ``view(N, 1, -1, n_mels)`` of the (B, n_mel, T) mel
+    (modules.py:67), which scrambles channel/time; False uses the corrected
+    transpose this framework defaults to (config.ref_enc_raw_reshape doc).
+    """
     m.eval()
     with torch.no_grad():
         B, S = text.shape
@@ -159,7 +165,10 @@ def torch_forward(m, hp, text, lengths, mel):
         transcript, _ = nn.utils.rnn.pad_packed_sequence(out, batch_first=True)
 
         # VAE-GST (modules.py:24-31, 65-80), eval: z = mu.
-        inp = mel.transpose(1, 2).contiguous().view(B, 1, T, hp.n_mel_channels)
+        if raw_layout:
+            inp = mel.contiguous().view(B, 1, -1, hp.n_mel_channels)
+        else:
+            inp = mel.transpose(1, 2).contiguous().view(B, 1, T, hp.n_mel_channels)
         o = inp
         for i, (conv, bn) in enumerate(zip(m.vae_gst.ref_encoder.convs,
                                            m.vae_gst.ref_encoder.bns)):
@@ -244,7 +253,12 @@ def torch_forward(m, hp, text, lengths, mel):
             align.numpy(), mu.numpy(), logvar.numpy())
 
 
-def test_full_forward_parity():
+@pytest.mark.parametrize("raw_layout", [False, True],
+                         ids=["corrected_layout", "reference_raw_reshape"])
+def test_full_forward_parity(raw_layout):
+    """raw_layout=True is the path a CONVERTED upstream checkpoint takes:
+    torch oracle uses the reference's actual raw view(N,1,-1,n_mels) input
+    and the JAX side sets ref_enc_raw_reshape=True."""
     hp = HP
     B, S, T = 2, 11, 128
     tm = build_torch_model(hp)
@@ -255,7 +269,8 @@ def test_full_forward_parity():
     mel_np = (rng.randn(B, hp.n_mel_channels, T) * 0.5).astype(np.float32)
 
     ref = torch_forward(
-        tm, hp, torch.from_numpy(text_np), lengths, torch.from_numpy(mel_np)
+        tm, hp, torch.from_numpy(text_np), lengths, torch.from_numpy(mel_np),
+        raw_layout=raw_layout,
     )
 
     params, model_state = convert_tacotron2(
@@ -263,7 +278,8 @@ def test_full_forward_parity():
     )
     from tacotron2_vae_tpu.models import tacotron2
 
-    hp_nomask = hp.replace(mask_padding=False)
+    hp_nomask = hp.replace(mask_padding=False,
+                           ref_enc_raw_reshape=raw_layout)
     batch = {
         "text": jnp.asarray(text_np.astype(np.int32)),
         "input_lengths": jnp.asarray(np.asarray(lengths, np.int32)),
@@ -277,9 +293,61 @@ def test_full_forward_parity():
     )
 
     np.testing.assert_allclose(np.asarray(out.mu), ref[4], atol=1e-4)
+    if raw_layout:
+        # Sanity: the two layouts genuinely differ — the flag is load-bearing
+        # for converted checkpoints (advisor finding, modules.py:67).
+        ref_fixed = torch_forward(
+            tm, hp, torch.from_numpy(text_np), lengths,
+            torch.from_numpy(mel_np), raw_layout=False,
+        )
+        assert not np.allclose(ref[4], ref_fixed[4], atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.logvar), ref[5], atol=1e-4)
     np.testing.assert_allclose(np.asarray(out.alignments), ref[3], atol=2e-4)
     np.testing.assert_allclose(np.asarray(out.gate_outputs), ref[2], atol=2e-3)
     np.testing.assert_allclose(np.asarray(out.mel_outputs), ref[0], atol=2e-3)
     np.testing.assert_allclose(np.asarray(out.mel_outputs_postnet), ref[1],
                                atol=5e-3)
+
+
+@pytest.mark.slow
+def test_full_size_forward_parity():
+    """Production-width spot check (512-d embeddings, 1024-wide LSTM cells,
+    512-ch postnet, full VAE filter stack): dtype/accumulation effects scale
+    with width, so toy-dim parity alone is not sufficient evidence.  Short
+    sequences keep the CPU oracle affordable; tolerances are wider than the
+    toy test because ~1e5-element dot products accumulate more rounding."""
+    hp = create_hparams("compute_dtype='float32'")  # flagship dims
+    B, S, T = 2, 12, 80
+    tm = build_torch_model(hp, seed=1)
+    rng = np.random.RandomState(1)
+    text_np = rng.randint(2, hp.n_symbols, size=(B, S)).astype(np.int64)
+    lengths = [S, S - 4]
+    text_np[1, S - 4:] = 0
+    mel_np = (rng.randn(B, hp.n_mel_channels, T) * 0.5).astype(np.float32)
+
+    ref = torch_forward(
+        tm, hp, torch.from_numpy(text_np), lengths, torch.from_numpy(mel_np)
+    )
+    params, model_state = convert_tacotron2(
+        {k: v.numpy() for k, v in tm.state_dict().items()}, hp
+    )
+    from tacotron2_vae_tpu.models import tacotron2
+
+    batch = {
+        "text": jnp.asarray(text_np.astype(np.int32)),
+        "input_lengths": jnp.asarray(np.asarray(lengths, np.int32)),
+        "mel": jnp.asarray(mel_np),
+        "output_lengths": None,
+        "emotions": jnp.zeros((B, hp.n_emotions)),
+    }
+    out, _ = tacotron2.forward(
+        params, model_state, batch, hp.replace(mask_padding=False),
+        train=False, rng=jax.random.PRNGKey(0), prenet_dropout_enabled=False,
+    )
+    np.testing.assert_allclose(np.asarray(out.mu), ref[4], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.logvar), ref[5], atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out.alignments), ref[3], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.gate_outputs), ref[2], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.mel_outputs), ref[0], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out.mel_outputs_postnet), ref[1],
+                               atol=2e-2)

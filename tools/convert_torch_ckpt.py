@@ -14,6 +14,13 @@ Usage:
 Layout conventions (see ops/layers.py): torch Linear (out, in) -> (in, out);
 torch Conv1d (out, in, k) -> (k, in, out); torch Conv2d (out, in, kh, kw) ->
 (kh, kw, in, out); LSTM/GRU packed weights -> transposed.
+
+IMPORTANT — converted Tacotron2-VAE checkpoints need
+``ref_enc_raw_reshape=True``: the reference trains its VAE reference
+encoder on a raw-memory reshape of the mel (modules.py:67 scrambles
+channel/time), while this framework defaults to the corrected transpose
+layout.  Without the flag a converted checkpoint's style/prosody branch
+emits different embeddings than the original model.
 """
 
 from __future__ import annotations
