@@ -104,7 +104,76 @@ def main():
     float(m64["loss"])
     dt64 = (time.perf_counter() - t0) / 8
     frames_per_sec_b64 = B2 * T / dt64
+
+    # FLOPs + MFU from XLA's own cost model for the compiled B=64 step.
+    flops_per_step = None
+    mfu_b64 = None
+    try:
+        compiled = step.lower(ts64, batch64, jax.random.PRNGKey(0)).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops_per_step = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    if flops_per_step:
+        kind = jax.devices()[0].device_kind.lower()
+        peak = None
+        for key, val in (
+            ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+            ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12),
+            ("v3", 123e12), ("v2", 45e12),
+        ):
+            if key in kind:
+                peak = val
+                break
+        if peak:
+            mfu_b64 = flops_per_step / dt64 / peak
     del ts64, batch64
+
+    # Host input pipeline: featurize->collate throughput on synthetic wavs
+    # (4 distinct lengths => 4 STFT compiles), cold (wav decode + STFT +
+    # cache write) then warm (np.load from the write-once mel cache).  The
+    # pipeline must outrun the device step or the chip starves.
+    input_cold_fps = input_warm_fps = None
+    try:
+        import tempfile
+
+        from tacotron2_vae_tpu.data import DataLoader, TextMelDataset
+        from tacotron2_vae_tpu.data.prefetch import prefetch
+        from tacotron2_vae_tpu.dsp.audio import save_wav
+
+        tmpd = tempfile.mkdtemp(prefix="bench_data_")
+        n_items, sr = 64, hp.sampling_rate
+        lengths_s = [4.0, 5.5, 7.0, 8.5]
+        lines = []
+        total_frames = 0
+        for i in range(n_items):
+            n = int(lengths_s[i % 4] * sr)
+            t = np.arange(n) / sr
+            wav = (0.3 * np.sin(2 * np.pi * (120 + 3 * i) * t)).astype(
+                np.float32)
+            p = os.path.join(tmpd, f"b{i:03d}.wav")
+            save_wav(p, wav, sr)
+            total_frames += n // hp.hop_length + 1
+            lines.append(f"{p}|벤치마크 입력 파이프라인 문장 {i}|0|{i % 4}")
+        filelist = os.path.join(tmpd, "bench.txt")
+        with open(filelist, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+
+        ds = TextMelDataset(filelist, hp, shuffle=False)
+        dl = DataLoader(ds, 64, hp, shuffle=False, drop_last=False)
+        t0 = time.perf_counter()
+        for _ in prefetch(dl.epoch(0), depth=2):
+            pass
+        input_cold_fps = total_frames / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in prefetch(dl.epoch(1), depth=2):
+            pass
+        input_warm_fps = total_frames / (time.perf_counter() - t0)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
 
     # Secondary: autoregressive inference RTF (mel frames vs realtime audio).
     params, state = ts.params, ts.model_state
@@ -158,6 +227,13 @@ def main():
                 "batch": B,
                 "mel_frames": T,
                 "frames_per_sec_batch64": round(frames_per_sec_b64, 1),
+                "train_step_ms_batch64": round(dt64 * 1e3, 2),
+                "flops_per_step_batch64": flops_per_step,
+                "mfu_batch64": round(mfu_b64, 4) if mfu_b64 else None,
+                "input_pipeline_fps_cold": (
+                    round(input_cold_fps, 1) if input_cold_fps else None),
+                "input_pipeline_fps_warm": (
+                    round(input_warm_fps, 1) if input_warm_fps else None),
                 "inference_rtf_600_frames": round(rtf, 4),
                 "inference_rtf_xla_while_loop": round(rtf_xla, 4),
                 "device": str(jax.devices()[0]),

@@ -156,6 +156,11 @@ class HParams:
     # Static-shape bucketing for XLA: pad text/mel lengths up to multiples.
     text_bucket_size: int = 32
     mel_bucket_size: int = 64
+    # Write-once .npy mel cache beside each wav (suffix encodes the STFT
+    # config); epochs after the first are plain np.loads.
+    mel_cache: bool = True
+    # Batches prefetched ahead of the train step by the background pipeline.
+    prefetch_depth: int = 2
     symbol_type: int = 1  # Korean jamo symbol inventory variant (1..4)
     # Hand-written BPTT for the decoder scan (models/decoder_bptt.py):
     # ~1.3x faster training than autodiff, gradient-identical (tests/test_bptt).

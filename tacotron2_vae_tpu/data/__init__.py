@@ -7,3 +7,4 @@ from .dataset import (  # noqa: F401
     collate,
     load_filepaths_and_text,
 )
+from .prefetch import prefetch  # noqa: F401

@@ -73,6 +73,14 @@ class TextMelDataset:
             hp.filter_length, hp.hop_length, hp.win_length,
             hp.n_mel_channels, hp.sampling_rate, hp.mel_fmin, hp.mel_fmax,
         )
+        # Write-once mel cache beside each wav; the suffix encodes the full
+        # STFT config so a config change never reads a stale cache.
+        self.mel_cache = getattr(hp, "mel_cache", True)
+        self._cache_tag = (
+            f"mel{hp.n_mel_channels}_{hp.filter_length}_{hp.hop_length}_"
+            f"{hp.win_length}_{hp.sampling_rate}_"
+            f"{hp.mel_fmin:g}_{hp.mel_fmax:g}"
+        )
         if shuffle:
             rng = random.Random(hp.seed)  # reference uses seed 1234
             rng.shuffle(self.entries)
@@ -87,21 +95,42 @@ class TextMelDataset:
             dtype=np.int32,
         )
 
+    def mel_cache_path(self, audiopath: str) -> str:
+        return f"{audiopath}.{self._cache_tag}.npy"
+
     def get_mel(self, audiopath: str) -> np.ndarray:
-        """wav -> (n_mel, T) log-mel; honors load_mel_from_disk (.npy)."""
+        """wav -> (n_mel, T) log-mel; honors load_mel_from_disk (.npy).
+
+        With ``hp.mel_cache`` (default on), the featurized mel is written
+        once to ``<wav>.<stft-config>.npy`` beside the wav (atomic rename,
+        safe under concurrent writers) and every later epoch is a plain
+        np.load — the wav decode + STFT cost is paid once per corpus, not
+        once per epoch (reference analog: data_utils.py:53-57 npy path,
+        but automatic)."""
         if self.load_mel_from_disk:
             mel = np.load(audiopath)
             assert mel.shape[0] == self.hp.n_mel_channels, (
                 f"Mel dim mismatch: {mel.shape[0]} != {self.hp.n_mel_channels}"
             )
             return mel.astype(np.float32)
+        cache = self.mel_cache_path(audiopath) if self.mel_cache else None
+        if cache and os.path.exists(cache):
+            return np.load(cache)
         from . import native
 
         audio, sr = native.load_wav(audiopath, scale=self.hp.max_wav_value)
         if sr != self.hp.sampling_rate:
             raise ValueError(f"{sr} SR doesn't match target {self.hp.sampling_rate} SR")
         mel = np.asarray(self.stft.mel_spectrogram(audio[None]))[0]
-        return mel.astype(np.float32)
+        mel = mel.astype(np.float32)
+        if cache:
+            tmp = f"{cache}.{os.getpid()}.tmp.npy"
+            try:
+                np.save(tmp, mel)  # .npy suffix: np.save won't rename it
+                os.replace(tmp, cache)
+            except OSError:
+                pass  # read-only corpus dir: cache is best-effort
+        return mel
 
     def max_lengths(self) -> tuple[int, int]:
         """(max_text_len, max_mel_frames) over the dataset from cheap

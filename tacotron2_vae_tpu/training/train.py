@@ -130,14 +130,20 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
 
         logger = Tacotron2Logger(os.path.join(output_directory, log_directory))
 
+    from ..data.prefetch import prefetch
+
     for epoch in range(epoch_offset, hp.epochs):
         print(f"Epoch: {epoch}")
-        for batch in train_loader.epoch(epoch):
+        # Featurize + device_put run in a background thread, `prefetch_depth`
+        # batches ahead: the host pipeline hides behind device compute.
+        for batch in prefetch(
+            train_loader.epoch(epoch),
+            depth=max(1, hp.prefetch_depth),
+            transform=lambda b: shard_batch(b.asdict(), mesh),
+        ):
             t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
-            ts, metrics = train_step(
-                ts, shard_batch(batch.asdict(), mesh), step_rng
-            )
+            ts, metrics = train_step(ts, batch, step_rng)
             loss = float(metrics["loss"])  # also syncs the step
             duration = time.perf_counter() - t0
 

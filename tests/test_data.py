@@ -131,6 +131,67 @@ def test_prepare_dataloaders_rejects_indivisible_batch(hp):
         prepare_dataloaders(hp.replace(batch_size=3), shard=(0, 2))
 
 
+def test_mel_cache_write_once_and_reuse(hp):
+    """First featurization writes <wav>.<stft-config>.npy; later calls are
+    pure np.loads with identical contents; config changes miss the cache."""
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    wav = ds.entries[0][0]
+    cache = ds.mel_cache_path(wav)
+    if os.path.exists(cache):
+        os.remove(cache)
+    mel1 = ds.get_mel(wav)
+    assert os.path.exists(cache)
+    # poison the STFT: a second call must not featurize again
+    ds.stft = None
+    mel2 = ds.get_mel(wav)
+    np.testing.assert_array_equal(mel1, mel2)
+    # a different STFT config gets a different cache key
+    hp2 = hp.replace(hop_length=hp.hop_length * 2)
+    ds2 = TextMelDataset(hp.training_files, hp2, shuffle=False)
+    assert ds2.mel_cache_path(wav) != cache
+    # mel_cache=False bypasses reads and writes
+    ds3 = TextMelDataset(hp.training_files, hp.replace(mel_cache=False),
+                         shuffle=False)
+    os.remove(cache)
+    ds3.get_mel(wav)
+    assert not os.path.exists(cache)
+
+
+def test_prefetch_order_transform_and_errors():
+    from tacotron2_vae_tpu.data.prefetch import prefetch
+
+    out = list(prefetch(range(10), depth=3, transform=lambda x: x * 2))
+    assert out == [x * 2 for x in range(10)]
+
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("boom")
+
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+    # early exit stops the worker without hanging
+    slow = prefetch(iter(range(1000)), depth=1)
+    assert next(slow) == 0
+    slow.close()
+
+
+def test_prefetched_epoch_matches_sync_epoch(hp):
+    from tacotron2_vae_tpu.data.prefetch import prefetch
+
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    dl = DataLoader(ds, 2, hp, shuffle=False)
+    sync = [b.text for b in dl.epoch(0)]
+    pre = [b.text for b in prefetch(dl.epoch(0), depth=2)]
+    assert len(sync) == len(pre)
+    for a, b in zip(sync, pre):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_max_lengths_matches_featurized(hp):
     """Header-derived max lengths must match the real featurized maxima."""
     ds = TextMelDataset(hp.training_files, hp, shuffle=False)
