@@ -165,9 +165,11 @@ class HParams:
     # Hand-written BPTT for the decoder scan (models/decoder_bptt.py):
     # ~1.3x faster training than autodiff, gradient-identical (tests/test_bptt).
     use_custom_bptt: bool = True
-    # Compute dtype inside the decoder recurrence; fp32 measures fastest at
-    # small batch on v5e (weights stay VMEM-resident either way).
-    decoder_scan_dtype: str = "float32"
+    # Compute dtype inside the decoder recurrence.  "auto" (default) picks
+    # per measured v5e regimes: compute_dtype (bf16) streams for large B*S
+    # scans (HBM-bound), fp32 for small ones (latency-bound, where the casts
+    # only add per-step ops).  Weights stay VMEM-resident either way.
+    decoder_scan_dtype: str = "auto"
     # VAE reference-encoder input layout.  False (default, deliberate fix):
     # a true transpose to a (B, T, n_mels) time/frequency image.  True:
     # bug-compatible with reference modules.py:67, which raw-memory-reshapes

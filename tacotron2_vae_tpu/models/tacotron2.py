@@ -107,10 +107,20 @@ def forward(
     )
     memory = transcript + prosody[:, None, :]  # broadcast add (model.py:535-537)
 
-    scan_dtype = (
-        None if hp.decoder_scan_dtype == "float32"
-        else jnp.dtype(hp.decoder_scan_dtype)
-    )
+    if hp.decoder_scan_dtype == "auto":
+        # Measured regimes on v5e (see decoder_bptt._recompute_attn): large
+        # B*S scans are HBM-bound and want bf16 streams; small scans are
+        # latency-bound and the casts only add per-step ops.
+        B, S = batch["text"].shape
+        scan_dtype = (
+            jnp.dtype(hp.compute_dtype)
+            if hp.compute_dtype != "float32" and B * S >= 2048 else None
+        )
+    else:
+        scan_dtype = (
+            None if hp.decoder_scan_dtype == "float32"
+            else jnp.dtype(hp.decoder_scan_dtype)
+        )
     if hp.use_custom_bptt:
         from . import decoder_bptt
 

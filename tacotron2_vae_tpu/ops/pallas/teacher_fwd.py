@@ -65,8 +65,6 @@ def _kernel(
     # outputs (blocks at step t)
     h_dec_ref, ctx_ref, w_ref, g_att_ref, g_dec_ref, h_att_ref,
     c_att_ref, c_dec_ref,  # post-dropout cell states (bwd needs c_prev)
-    tanh_ref,          # (1, B*S, A)
-    loc_ref,           # (1, B*S, F)
     # scratch (persist across the sequential grid)
     s_h_att, s_c_att, s_h_dec, s_c_dec, s_w, s_wc, s_ctx,
     s_loc,  # (B*S, F) staging — Mosaic can't shape-cast (B, S*F)->(B*S, F)
@@ -181,8 +179,6 @@ def _kernel(
     h_att_ref[0] = h_att_new
     c_att_ref[0] = c_att_new
     c_dec_ref[0] = c_dec_new
-    tanh_ref[0] = tanh_arg
-    loc_ref[0] = s_loc[:]
 
     # update state
     s_h_att[:] = h_att_new
@@ -200,7 +196,7 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
     """Pallas forward for the BPTT scan core.
 
     Returns (ys, resids) with the same contents as decoder_bptt._fwd_impl
-    plus saved tanh_arg/loc reshaped to (T, B, S, ...) conventions.
+    (the backward recomputes tanh_arg/loc from these, so they are not saved).
     """
     T, B, P = prenet_seq.shape
     S, E = memory.shape[1], memory.shape[2]
@@ -254,8 +250,6 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B * S, A), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B * S, F_PAD), step_block, memory_space=pltpu.VMEM),
     )
     out_shape = (
         jax.ShapeDtypeStruct((T, B, H), jnp.float32),
@@ -266,8 +260,6 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
         jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        jax.ShapeDtypeStruct((T, B * S, A), jnp.float32),
-        jax.ShapeDtypeStruct((T, B * S, F_PAD), jnp.float32),
     )
 
     outs = pl.pallas_call(
@@ -298,16 +290,11 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
         scan_params["query_w"], loc_band, loc_dense_pad,
         scan_params["v_w"], prenet_seq, m1, m2, m3, m4,
     )
-    (h_dec, ctx, w, g_att, g_dec, h_att, c_att, c_dec,
-     tanh_flat, loc_flat) = outs
+    h_dec, ctx, w, g_att, g_dec, h_att, c_att, c_dec = outs
     ys = (h_dec, ctx, w)
     # bwd consumes the PREVIOUS step's (post-dropout) cell states
     zh = jnp.zeros((1, B, H), jnp.float32)
     c_att_prev = jnp.concatenate([zh, c_att[:-1]], axis=0)
     c_dec_prev = jnp.concatenate([zh, c_dec[:-1]], axis=0)
-    resids = (
-        g_att, g_dec, c_att_prev, c_dec_prev, h_att,
-        tanh_flat.reshape(T, B, S, A),
-        loc_flat.reshape(T, B, S, F_PAD)[..., :F],
-    )
+    resids = (g_att, g_dec, c_att_prev, c_dec_prev, h_att)
     return ys, resids

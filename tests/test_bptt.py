@@ -204,3 +204,44 @@ def test_custom_vjp_matches_autodiff_bf16(train):
         a, b = np.asarray(a), np.asarray(b)
         denom = np.maximum(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 5e-2
+
+
+@pytest.mark.parametrize("compute_dtype", ["float32", "bfloat16"])
+def test_custom_vjp_recompute_regime(compute_dtype):
+    """The large-scan regime (decoder_bptt._recompute_attn: tanh_arg/loc
+    recomputed in the backward, dx contracted against UNTRANSPOSED weights,
+    compute-dtype residual streams) matches autodiff of the same forward.
+    The default tiny shapes land in the save-residuals regime, so this pins
+    B*S >= 2048 explicitly (B=2, S=1024, short T)."""
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(
+        True, B=2, S=1024, T=4
+    )
+    cfg = cfg._replace(compute_dtype=compute_dtype)
+    assert bptt._recompute_attn(2, 1024, cfg)
+
+    def loss_custom(scan_params, prenet_seq, memory, pmem):
+        h, c, w = bptt.scan_core(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+        )
+        return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3)
+
+    def loss_auto(scan_params, prenet_seq, memory, pmem):
+        (h, c, w), _ = bptt._fwd_impl(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+        )
+        return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3)
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    v1, g1 = jax.value_and_grad(loss_custom, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(loss_auto, argnums=(0, 1, 2, 3))(*args)
+    assert abs(float(v1) - float(v2)) < 1e-4
+    flat1, tree1 = jax.tree_util.tree_flatten(g1)
+    flat2, tree2 = jax.tree_util.tree_flatten(g2)
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        a, b = np.asarray(a), np.asarray(b)
+        if compute_dtype == "float32":
+            np.testing.assert_allclose(a, b, atol=5e-5, rtol=1e-4)
+        else:
+            denom = np.maximum(np.abs(b).max(), 1e-3)
+            assert np.abs(a - b).max() / denom < 5e-2
