@@ -615,11 +615,13 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         "loc_dense_w": params["attention"]["loc_dense"]["w"],
         "v_w": params["attention"]["v"]["w"],
     }
+    import os as _os
     cfg = ScanConfig(
         n_half_keep_att=1.0 - hp.p_attention_dropout,
         n_half_keep_dec=1.0 - hp.p_decoder_dropout,
         train=train,
         compute_dtype=jnp.dtype(dtype).name if dtype is not None else "float32",
+        use_pallas_fwd=_os.environ.get("T2V_PALLAS_FWD", "0") == "1",
     )
     h_dec_seq, ctx_seq, w_seq = scan_core(
         scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg

@@ -1,12 +1,16 @@
 """Teacher-forced decoder FORWARD as one Pallas kernel (grid over time).
 
-EXPERIMENTAL (off by default — enable with ScanConfig.use_pallas_fwd).
+EXPERIMENTAL (off by default — enable with ScanConfig.use_pallas_fwd, or
+T2V_PALLAS_FWD=1 for perf bisection via tools/bench_step.py).
 Numerically verified against the XLA scan (tests/test_bptt.py) but currently
-speed-neutral on v5e: Mosaic supports no general major-dim shape casts, so
-the (B, S)<->(B*S, ·) conversions around the attention math fall back to
-per-example loops (B x [loc matmul, energy transpose, context matvec]) whose
-op count cancels the VMEM-pinned-weights win. Revisit if/when Mosaic gains
-relayout shape casts or batched dot_general.
+speed-neutral on v5e at small batch: Mosaic supports no general major-dim
+shape casts, so the (B, S)<->(B*S, ·) conversions around the attention math
+fall back to per-example loops (B x [loc matmul, energy transpose, context
+matvec]) whose op count cancels the VMEM-pinned-weights win. At large batch
+it does not fit at all: everything-pinned-in-VMEM needs ~212MB at B=64/S=128
+(cap 128MB on v5e) — measured 2026-08, so the XLA scan (which streams
+weights per step and hits ~307k frames/s at B=64) remains the training path.
+Revisit if/when Mosaic gains relayout shape casts or batched dot_general.
 
 Structure: every weight stays pinned in VMEM across all T grid steps, the
 location-sensitive conv is a matmul against a precomputed banded Toeplitz
