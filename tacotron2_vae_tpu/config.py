@@ -294,4 +294,12 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
             "embedding table matches the inventory.",
             stacklevel=2,
         )
+    # n_frames_per_step r>1 IS supported here (the reference declares it
+    # unsupported, hparams.py:87): the decoder emits r frames per scan step,
+    # cutting the sequential step count to T/r.  Gate/alignment outputs
+    # become per-step (T/r); collate already pads T to a multiple of r.
+    if hp.n_frames_per_step < 1:
+        raise ValueError(
+            f"n_frames_per_step={hp.n_frames_per_step} must be >= 1"
+        )
     return hp

@@ -82,6 +82,30 @@ def prenet(params, x, rng, dropout_enabled: bool = True, dtype=None):
     return x
 
 
+def group_frames(mels: jnp.ndarray, r: int) -> jnp.ndarray:
+    """(B, n_mel, T) -> (B, T//r, r*n_mel) frame groups (T divisible by r).
+
+    With ``n_frames_per_step = r > 1`` the decoder consumes/emits r mel
+    frames per step (the reference only plumbs r through its layer dims and
+    declares r>1 unsupported, hparams.py:87 — here it is fully supported:
+    the scan shortens to T/r steps, a large training-throughput lever since
+    the sequential scan dominates the step time)."""
+    B, n_mel, T = mels.shape
+    if T % r != 0:
+        raise ValueError(
+            f"mel length T={T} must be a multiple of n_frames_per_step={r} "
+            "(data.dataset.collate pads to this)"
+        )
+    return jnp.swapaxes(mels, 1, 2).reshape(B, T // r, r * n_mel)
+
+
+def ungroup_mel(mel_out: jnp.ndarray, n_mel: int, r: int) -> jnp.ndarray:
+    """(Tg, B, r*n_mel) time-major groups -> (B, n_mel, Tg*r) frames."""
+    Tg, B, _ = mel_out.shape
+    g = mel_out.reshape(Tg, B, r, n_mel)
+    return jnp.transpose(g, (1, 3, 0, 2)).reshape(B, n_mel, Tg * r)
+
+
 class DecoderState(NamedTuple):
     h_att: jnp.ndarray  # (B, attention_rnn_dim)
     c_att: jnp.ndarray
@@ -164,17 +188,21 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
                    unroll: int = 1, remat: bool = False):
     """Teacher-forced decoding (reference ``Decoder.forward``, model.py:391-426).
 
-    memory: (B, S, enc_dim); mels: (B, n_mel, T) ground truth.
-    Returns (mel_outputs (B, n_mel, T), gate (B, T), alignments (B, T, S)).
+    memory: (B, S, enc_dim); mels: (B, n_mel, T) ground truth, T divisible
+    by r = hp.n_frames_per_step.
+    Returns (mel_outputs (B, n_mel, T), gate (B, T/r), alignments
+    (B, T/r, S)) — gate/alignments are per decoder step (= per r-frame
+    group; identical to per-frame at the default r=1).
     """
     B, S, _ = memory.shape
     T = mels.shape[2]
     n_mel = hp.n_mel_channels
+    r = hp.n_frames_per_step
 
-    # Hoisted, batched prenet over [go, frame_0 .. frame_{T-2}].
-    frames = jnp.swapaxes(mels, 1, 2)  # (B, T, n_mel)
+    # Hoisted, batched prenet over [go, group_0 .. group_{Tg-2}].
+    groups = group_frames(mels, r)  # (B, Tg, r*n_mel)
     decoder_inputs = jnp.concatenate(
-        [jnp.zeros((B, 1, n_mel), frames.dtype), frames[:, :-1]], axis=1
+        [jnp.zeros((B, 1, r * n_mel), groups.dtype), groups[:, :-1]], axis=1
     )
     rng, pk = jax.random.split(rng)
     prenet_out = prenet(
@@ -187,7 +215,7 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     if memory_lengths is not None:
         mask = jnp.arange(S)[None, :] < memory_lengths[:, None]
 
-    step_keys = jax.random.split(rng, T)
+    step_keys = jax.random.split(rng, T // r)
 
     def step(state, inp):
         pn_t, key_t = inp
@@ -206,14 +234,14 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         (jnp.swapaxes(prenet_out, 0, 1), step_keys),
         unroll=unroll,
     )
-    # h_dec/context: (T, B, *) -> batched output projection on the MXU.
-    hidden_ctx = jnp.concatenate([h_dec, context], axis=-1)  # (T, B, 1536)
-    mel_out = linear(params["proj"], hidden_ctx, dtype=dtype)  # (T, B, n_mel)
-    gate_out = linear(params["gate"], hidden_ctx, dtype=dtype)[..., 0]  # (T, B)
+    # h_dec/context: (Tg, B, *) -> batched output projection on the MXU.
+    hidden_ctx = jnp.concatenate([h_dec, context], axis=-1)  # (Tg, B, 1536)
+    mel_out = linear(params["proj"], hidden_ctx, dtype=dtype)  # (Tg, B, r*n_mel)
+    gate_out = linear(params["gate"], hidden_ctx, dtype=dtype)[..., 0]  # (Tg, B)
 
-    mel_outputs = jnp.transpose(mel_out, (1, 2, 0))  # (B, n_mel, T)
-    gate_outputs = jnp.swapaxes(gate_out, 0, 1)  # (B, T)
-    alignments = jnp.swapaxes(attn_w, 0, 1)  # (B, T, S)
+    mel_outputs = ungroup_mel(mel_out, n_mel, r)  # (B, n_mel, T)
+    gate_outputs = jnp.swapaxes(gate_out, 0, 1)  # (B, Tg)
+    alignments = jnp.swapaxes(attn_w, 0, 1)  # (B, Tg, S)
     return mel_outputs, gate_outputs, alignments
 
 
@@ -223,17 +251,21 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
     """Autoregressive inference (reference ``Decoder.inference``,
     model.py:428-464) as a bounded while_loop with gate early exit.
 
-    Returns (mel (B, n_mel, max_steps), gate (B, max_steps),
+    Returns (mel (B, n_mel, max_steps*r), gate (B, max_steps),
     alignments (B, max_steps, S), lengths (B,)) — frames beyond an item's
-    stop step are zeros; `lengths` includes the frame on which the gate fired.
+    stop step are zeros; `lengths` counts FRAMES and includes the full
+    group in which the gate fired.  max_steps counts decoder steps (each
+    emits r = hp.n_frames_per_step frames); gate/alignments are per step.
     """
     B, S, _ = memory.shape
     n_mel = hp.n_mel_channels
+    r = hp.n_frames_per_step
     max_steps = max_steps or hp.max_decoder_steps
     gate_threshold = gate_threshold or hp.gate_threshold
 
     if use_pallas is None:
-        use_pallas = B == 1 and jax.default_backend() == "tpu"
+        use_pallas = B == 1 and r == 1 and jax.default_backend() == "tpu"
+    use_pallas = use_pallas and r == 1  # fused serving kernel is r=1-only
     if use_pallas and B == 1:
         from ..ops.pallas import decoder_loop as _dl
 
@@ -255,11 +287,11 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
     if memory_lengths is not None:
         mask = jnp.arange(S)[None, :] < memory_lengths[:, None]
 
-    mel_buf = jnp.zeros((max_steps, B, n_mel), jnp.float32)
+    mel_buf = jnp.zeros((max_steps, B, r * n_mel), jnp.float32)
     gate_buf = jnp.zeros((max_steps, B), jnp.float32)
     align_buf = jnp.zeros((max_steps, B, S), jnp.float32)
     finished0 = jnp.zeros((B,), bool)
-    prev_frame0 = jnp.zeros((B, n_mel), jnp.float32)
+    prev_frame0 = jnp.zeros((B, r * n_mel), jnp.float32)
 
     def cond(carry):
         t, _, _, finished, _, _, _ = carry
@@ -297,14 +329,15 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
          mel_buf, gate_buf, align_buf),
     )
 
-    # Per-item length: first step whose gate fired (inclusive), else t.
+    # Per-item length: first step whose gate fired (inclusive), else t;
+    # reported in frames (r per step).
     fired = jax.nn.sigmoid(gate_buf) > gate_threshold  # (max_steps, B)
     any_fired = jnp.any(fired, axis=0)
     first_fire = jnp.argmax(fired, axis=0)
-    lengths = jnp.where(any_fired, first_fire + 1, t)
+    lengths = jnp.where(any_fired, first_fire + 1, t) * r
 
     return (
-        jnp.transpose(mel_buf, (1, 2, 0)),
+        ungroup_mel(mel_buf, n_mel, r),
         jnp.swapaxes(gate_buf, 0, 1),
         jnp.transpose(align_buf, (1, 0, 2)),
         lengths,

@@ -547,16 +547,17 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     `dtype` selects the compute dtype for the recurrent matmuls in BOTH
     directions (fp32 accumulation always).
     """
-    from .decoder import prenet as prenet_fn
+    from .decoder import group_frames, prenet as prenet_fn, ungroup_mel
     from ..ops.layers import linear
 
     B, S, E = memory.shape
-    T = mels.shape[2]
     n_mel = hp.n_mel_channels
+    r = hp.n_frames_per_step
+    T = mels.shape[2] // r  # scan steps (r frames per step)
 
-    frames = jnp.swapaxes(mels, 1, 2)
+    groups = group_frames(mels, r)  # (B, T, r*n_mel)
     decoder_inputs = jnp.concatenate(
-        [jnp.zeros((B, 1, n_mel), frames.dtype), frames[:, :-1]], axis=1
+        [jnp.zeros((B, 1, r * n_mel), groups.dtype), groups[:, :-1]], axis=1
     )
     rng, pk = jax.random.split(rng)
     prenet_out = prenet_fn(
@@ -638,7 +639,7 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     gate_out = linear(params["gate"], hidden_ctx, dtype=dtype)[..., 0]
 
     return (
-        jnp.transpose(mel_out, (1, 2, 0)),
+        ungroup_mel(mel_out, n_mel, r),
         jnp.swapaxes(gate_out, 0, 1),
         jnp.swapaxes(w_seq, 0, 1),
     )

@@ -62,14 +62,19 @@ def init(key, hp) -> Tuple[Dict[str, Any], Dict[str, Any]]:
 
 def _mask_outputs(mel, mel_postnet, gate, output_lengths, n_mel):
     """Zero padded mel frames; set padded gate energies to 1e3
-    (reference parse_output, model.py:509-520)."""
+    (reference parse_output, model.py:509-520).
+
+    gate is per decoder step — (B, T) at n_frames_per_step=1, (B, T/r)
+    otherwise; a step is padded iff its first frame is past the length."""
     if output_lengths is None:
         return mel, mel_postnet, gate
     T = mel.shape[2]
+    r = T // gate.shape[1]
     valid = jnp.arange(T)[None, :] < output_lengths[:, None]  # (B, T)
     mel = jnp.where(valid[:, None, :], mel, 0.0)
     mel_postnet = jnp.where(valid[:, None, :], mel_postnet, 0.0)
-    gate = jnp.where(valid, gate, 1e3)
+    valid_step = (jnp.arange(gate.shape[1]) * r)[None, :] < output_lengths[:, None]
+    gate = jnp.where(valid_step, gate, 1e3)
     return mel, mel_postnet, gate
 
 

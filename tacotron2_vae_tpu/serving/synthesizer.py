@@ -268,12 +268,14 @@ class Synthesizer:
             jnp.asarray([n], jnp.int32),
             jnp.asarray(style)[None] if style.ndim == 1 else style, rng,
         )
-        n = int(lengths[0])
+        n = int(lengths[0])  # frames; gate/align are per decoder step
+        r = hp.n_frames_per_step
+        n_steps = (n + r - 1) // r
         return (
             np.asarray(mel)[:, :, :n],
             np.asarray(mel_post)[:, :, :n],
-            np.asarray(gate)[:, :n],
-            np.asarray(align)[:, :n],
+            np.asarray(gate)[:, :n_steps],
+            np.asarray(align)[:, :n_steps],
             n,
         )
 

@@ -41,6 +41,13 @@ def tacotron2_vae_loss(outputs, mel_target, gate_target, step, hp):
     mel_loss = jnp.mean((mel_out - mel_target) ** 2) + jnp.mean(
         (mel_post - mel_target) ** 2
     )
+    # Per-frame gate targets vs per-step logits: at n_frames_per_step=r>1
+    # the decoder emits one gate per r-frame group — compare against the
+    # target at each group's LAST frame (targets are 1 from the final real
+    # frame on, data_utils.py:133, so the stop group still carries a 1).
+    if gate_target.shape[1] != gate_out.shape[1]:
+        r = gate_target.shape[1] // gate_out.shape[1]
+        gate_target = gate_target[:, r - 1 :: r]
     gate_loss = bce_with_logits(gate_out.reshape(-1), gate_target.reshape(-1))
 
     kl_loss = -0.5 * jnp.sum(

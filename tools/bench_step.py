@@ -40,6 +40,8 @@ def main():
     S, T = 128, 512
     hp = create_hparams(
         f"batch_size={B}" + ("," + overrides if overrides else ""))
+    r = hp.n_frames_per_step
+    T = ((T + r - 1) // r) * r  # collate pads mel length to a multiple of r
     rng = np.random.RandomState(0)
     batch = {
         "text": rng.randint(2, hp.n_symbols, size=(B, S)).astype(np.int32),

@@ -67,10 +67,12 @@ def synth_batch(rng, hp, B, S, frames_per_char=4):
     }
 
 
-def alignment_diagonality(align, frames_per_char):
-    """Mean attention mass within +-2 chars of the diagonal."""
+def alignment_diagonality(align, frames_per_char, frames_per_step=1):
+    """Mean attention mass within +-2 chars of the diagonal.
+
+    align rows are decoder steps (r frames each at n_frames_per_step=r)."""
     B, T, S = align.shape
-    t = np.arange(T)
+    t = np.arange(T) * frames_per_step
     expected = np.minimum(t // frames_per_char, S - 1)
     window = np.abs(np.arange(S)[None, :] - expected[:, None]) <= 2  # (T, S)
     return float((align * window[None]).sum(axis=2).mean())
@@ -81,9 +83,14 @@ def main():
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seq", type=int, default=32)
+    p.add_argument("--hparams", type=str, default="",
+                   help="extra hparam overrides, e.g. n_frames_per_step=2")
     args = p.parse_args()
 
-    hp = create_hparams("anneal_function='constant'")
+    hp = create_hparams(
+        "anneal_function='constant'"
+        + ("," + args.hparams if args.hparams else "")
+    )
     rng = np.random.RandomState(0)
     batches = [synth_batch(rng, hp, args.batch, args.seq) for _ in range(8)]
 
@@ -108,7 +115,9 @@ def main():
         ts.params, ts.model_state, batches[0], hp, train=False,
         rng=jax.random.PRNGKey(1),
     )
-    diag = alignment_diagonality(np.asarray(out.alignments), 4)
+    diag = alignment_diagonality(
+        np.asarray(out.alignments), 4, hp.n_frames_per_step
+    )
 
     first = losses[0][1] if losses else float("nan")
     last = losses[-1][1] if losses else float("nan")
