@@ -132,6 +132,104 @@ class TextMelDataset:
                 pass  # read-only corpus dir: cache is best-effort
         return mel
 
+    def warm_mel_cache(self, chunk_frames: int = 128,
+                       batch_chunks: int = 64) -> int:
+        """Bulk-featurize every un-cached wav in FIXED-SHAPE chunk batches.
+
+        The serial path pays one device round-trip per utterance (measured
+        ~870 frames/s cold through the remote tunnel — a 21h corpus's first
+        epoch would take >1h while the train step consumes 300k+ frames/s).
+        Here wavs are decoded on the host (native C++ reader), each is
+        reflect-padded with its own boundary (bit-matching the per-item
+        framing, dsp/stft.py::frame_signal), sliced into overlapping
+        fixed-width sample chunks of exactly ``chunk_frames`` STFT frames,
+        and featurized ``batch_chunks`` chunks per device call — chunks
+        from different utterances share batches.  Fixed chunk shapes mean
+        ONE XLA compile total, ever (variable bucketed widths measured
+        minutes of compile each on this toolchain).  Returns the number of
+        mels written.  No-op when the cache is disabled, mels load from
+        disk, or everything is cached.
+        """
+        if self.load_mel_from_disk or not self.mel_cache:
+            return 0
+        todo = [
+            e[0] for e in self.entries
+            if not os.path.exists(self.mel_cache_path(e[0]))
+        ]
+        if not todo:
+            return 0
+        from . import native
+
+        n_fft = self.hp.filter_length
+        pad = n_fft // 2
+        hop = self.hp.hop_length
+        stride = chunk_frames * hop  # samples between chunk starts
+        width = (chunk_frames - 1) * hop + n_fft  # samples per chunk row
+
+        written = 0
+        # Stream: decode utterances until >= batch_chunks rows are pending,
+        # featurize, reassemble finished utterances, write caches.
+        pending_rows: list[np.ndarray] = []  # chunk rows awaiting device
+        pending_meta: list[tuple[int, int]] = []  # (utt_id, chunk_idx)
+        utts: dict[int, dict] = {}  # utt_id -> {path, n_frames, parts, left}
+
+        def flush(drain: bool = False):
+            nonlocal written, pending_rows, pending_meta
+            while (len(pending_rows) >= batch_chunks
+                   or (drain and pending_rows)):
+                take = pending_rows[:batch_chunks]
+                meta = pending_meta[:batch_chunks]
+                pending_rows = pending_rows[batch_chunks:]
+                pending_meta = pending_meta[batch_chunks:]
+                buf = np.zeros((batch_chunks, width), np.float32)
+                for j, row in enumerate(take):
+                    buf[j] = row
+                mels = np.asarray(self.stft.mel_spectrogram_prepadded(buf))
+                for j, (uid, cidx) in enumerate(meta):
+                    u = utts[uid]
+                    u["parts"][cidx] = mels[j]
+                    u["left"] -= 1
+                    if u["left"] == 0:
+                        mel = np.concatenate(
+                            [u["parts"][c] for c in range(len(u["parts"]))],
+                            axis=1,
+                        )[:, : u["n_frames"]].astype(np.float32)
+                        cache = self.mel_cache_path(u["path"])
+                        tmp = f"{cache}.{os.getpid()}.tmp.npy"
+                        try:
+                            np.save(tmp, mel)
+                            os.replace(tmp, cache)
+                            written += 1
+                        except OSError:
+                            pass  # read-only corpus: cache is best-effort
+                        del utts[uid]
+
+        for uid, path in enumerate(todo):
+            audio, sr = native.load_wav(path, scale=self.hp.max_wav_value)
+            if sr != self.hp.sampling_rate:
+                raise ValueError(
+                    f"{sr} SR doesn't match target {self.hp.sampling_rate} SR"
+                )
+            if len(audio) <= pad:  # sub-pad-length clip: serial fallback
+                continue
+            padded = np.pad(audio.astype(np.float32), pad, mode="reflect")
+            n_frames = len(audio) // hop + 1
+            n_chunks = -(-n_frames // chunk_frames)
+            need = (n_chunks - 1) * stride + width
+            if need > len(padded):
+                padded = np.pad(padded, (0, need - len(padded)))
+            utts[uid] = {
+                "path": path, "n_frames": n_frames,
+                "parts": [None] * n_chunks, "left": n_chunks,
+            }
+            for c in range(n_chunks):
+                pending_rows.append(padded[c * stride : c * stride + width])
+                pending_meta.append((uid, c))
+            if len(pending_rows) >= batch_chunks:
+                flush()
+        flush(drain=True)
+        return written
+
     def max_lengths(self) -> tuple[int, int]:
         """(max_text_len, max_mel_frames) over the dataset from cheap
         metadata only — token counts, and wav sample counts from the file
@@ -232,6 +330,7 @@ class DataLoader:
         # (text_len, mel_len) to pad every batch to; required when world > 1
         # so all hosts emit identical shapes for the same global step.
         self.fixed_lengths = fixed_lengths
+        self._warmed = False
 
     def __len__(self) -> int:
         n = len(self.ds) // self.world
@@ -240,6 +339,11 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
+        if not self._warmed:
+            # One-time bulk featurization of any un-cached wavs (batched
+            # device calls); later epochs and every __getitem__ are np.load.
+            self.ds.warm_mel_cache()
+            self._warmed = True
         idx = np.arange(len(self.ds))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + epoch_idx)

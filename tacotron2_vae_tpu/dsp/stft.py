@@ -43,7 +43,43 @@ def frame_signal(y: jnp.ndarray, n_fft: int, hop_length: int) -> jnp.ndarray:
     """
     pad = n_fft // 2
     y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
-    n_frames = (y.shape[1] - n_fft) // hop_length + 1
+    return frame_signal_prepadded(y, n_fft, hop_length)
+
+
+def frame_signal_prepadded(
+    y: jnp.ndarray, n_fft: int, hop_length: int
+) -> jnp.ndarray:
+    """Frame an ALREADY-padded signal: (B, T + n_fft) -> (B, n_frames, n_fft).
+
+    Used by the bulk featurizer (data.dataset.TextMelDataset.warm_mel_cache):
+    each item is reflect-padded with its OWN boundary samples on the host,
+    then zero-extended to a shared bucket length — so every frame inside an
+    item's valid range is computed from exactly the samples the per-item
+    path would use, and the caller trims the tail frames that read the
+    zero extension.
+
+    When hop divides n_fft (the 1024/256 default), overlapping frames are
+    materialized as n_fft//hop strided RESHAPES interleaved by a stack —
+    XLA compiles the equivalent big gather pathologically slowly on TPU
+    (~40 s+ per new shape, measured; the reshape form is ~1 s).
+    """
+    B, L = y.shape
+    n_frames = (L - n_fft) // hop_length + 1
+    if n_fft % hop_length == 0:
+        q = n_fft // hop_length
+        M = -(-n_frames // q)  # frames per strided sub-series (ceil)
+        need = (q - 1) * hop_length + M * n_fft
+        if need > L:
+            y = jnp.pad(y, ((0, 0), (0, need - L)))
+        subs = [
+            y[:, j * hop_length : j * hop_length + M * n_fft].reshape(
+                B, M, n_fft
+            )
+            for j in range(q)
+        ]
+        # frame k = m*q + j starts at m*n_fft + j*hop == k*hop
+        frames = jnp.stack(subs, axis=2).reshape(B, M * q, n_fft)
+        return frames[:, :n_frames]
     idx = (
         np.arange(n_frames)[:, None] * hop_length + np.arange(n_fft)[None, :]
     )
@@ -130,6 +166,56 @@ class TacotronSTFT:
 
     def spectral_de_normalize(self, magnitudes):
         return dynamic_range_decompression(magnitudes)
+
+    def _mel_prepadded_impl(self, y: jnp.ndarray) -> jnp.ndarray:
+        # DFT as two MXU matmuls against a precomputed Fourier basis (the
+        # reference's conv-as-DFT formulation, stft.py:53-61) rather than
+        # jnp.fft.rfft: XLA's TPU rfft lowering compiles pathologically
+        # slowly for new batched shapes (~7 min measured for one
+        # (16, 64k-sample) shape vs ~1 s for the matmul form), and the
+        # basis matmul fuses with the window + mel matmuls anyway.
+        n = self.filter_length
+        cos_b, sin_b = self._dft_basis()
+        window = jnp.asarray(_padded_window(self.win_length, n))
+        frames = (
+            frame_signal_prepadded(y, n, self.hop_length) * window
+        )  # (B, T, n)
+        re = jnp.dot(frames, cos_b, preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, sin_b, preferred_element_type=jnp.float32)
+        mag = jnp.sqrt(re * re + im * im).swapaxes(1, 2)  # (B, F, T)
+        mel = jnp.einsum(
+            "mf,bft->bmt", self.mel_basis, mag,
+            preferred_element_type=jnp.float32,
+        )
+        return dynamic_range_compression(mel)
+
+    def _dft_basis(self):
+        if not hasattr(self, "_dft_basis_arrays"):
+            n = self.filter_length
+            k = np.arange(n // 2 + 1)[None, :]
+            t = np.arange(n)[:, None]
+            ang = 2.0 * np.pi * k * t / n
+            self._dft_basis_arrays = (
+                jnp.asarray(np.cos(ang).astype(np.float32)),
+                jnp.asarray((-np.sin(ang)).astype(np.float32)),
+            )
+        return self._dft_basis_arrays
+
+    def mel_spectrogram_prepadded(self, y) -> jnp.ndarray:
+        """Bulk path: (B, T + n_fft) HOST-padded waveforms -> log-mel.
+
+        Each row must carry its own n_fft//2 reflect padding (np.pad
+        mode='reflect') followed by any zero extension to the shared batch
+        length; the caller trims each item to its true n_samples//hop + 1
+        frames.  One device call featurizes a whole batch of utterances —
+        the per-utterance dispatch latency of the serial path is what makes
+        a cold (uncached) epoch starve the chip."""
+        self._dft_basis()  # materialize eagerly: a jnp array created while
+        # tracing would leak the tracer through the self._dft_basis_arrays
+        # cache into later traces
+        if not hasattr(self, "_mel_prepadded_fn"):
+            self._mel_prepadded_fn = jax.jit(self._mel_prepadded_impl)
+        return self._mel_prepadded_fn(jnp.asarray(y))
 
     def mel_spectrogram(self, y) -> jnp.ndarray:
         """(B, T) waveform in [-1, 1] -> (B, n_mels, n_frames) log-mel."""

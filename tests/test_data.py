@@ -157,6 +157,31 @@ def test_mel_cache_write_once_and_reuse(hp):
     assert not os.path.exists(cache)
 
 
+def test_warm_mel_cache_matches_serial_path(hp):
+    """The bulk featurizer (one batched device call, host reflect-padding)
+    writes caches equal to the per-item path for every frame."""
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    # serial reference mels, computed with the cache off
+    ds_ref = TextMelDataset(
+        hp.training_files, hp.replace(mel_cache=False), shuffle=False
+    )
+    ref = {e[0]: ds_ref.get_mel(e[0]) for e in ds.entries}
+    for e in ds.entries:
+        c = ds.mel_cache_path(e[0])
+        if os.path.exists(c):
+            os.remove(c)
+    # tiny chunking: multiple chunks per utterance, cross-utterance batches
+    written = ds.warm_mel_cache(chunk_frames=8, batch_chunks=5)
+    assert written == len(ds.entries)
+    for e in ds.entries:
+        assert os.path.exists(ds.mel_cache_path(e[0]))
+        got = ds.get_mel(e[0])
+        assert got.shape == ref[e[0]].shape
+        np.testing.assert_allclose(got, ref[e[0]], atol=2e-4)
+    # second warm is a no-op
+    assert ds.warm_mel_cache() == 0
+
+
 def test_prefetch_order_transform_and_errors():
     from tacotron2_vae_tpu.data.prefetch import prefetch
 
