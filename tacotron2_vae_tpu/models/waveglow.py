@@ -277,3 +277,38 @@ def infer(params, mel, cfg: WaveGlowConfig = WaveGlowConfig(),
         key = jax.random.PRNGKey(0)
     return _infer_impl(params, mel, cfg, jnp.asarray(sigma, jnp.float32),
                        key, dtype_name)
+
+
+def waveglow_loss(z, log_s_list, log_det_w_list, sigma: float = 1.0):
+    """Flow negative log-likelihood (NVIDIA WaveGlowLoss semantics:
+    sum(z^2)/(2 sigma^2) - sum(log_s) - sum(log_det_W), normalized by
+    z.size).  The reference repo never trains its vocoder (it loads a
+    pickled pretrained model, synthesizer.py:79-80); this makes the vocoder
+    trainable inside the framework — see tools/train_waveglow.py.
+    """
+    loss = jnp.sum(z * z) / (2.0 * sigma * sigma)
+    for log_s in log_s_list:
+        loss = loss - jnp.sum(log_s)
+    for log_det in log_det_w_list:
+        loss = loss - log_det
+    return loss / z.size
+
+
+def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer,
+                             sigma: float = 1.0):
+    """(opt_state, params, audio, mel) -> (opt_state, params, loss) train
+    step for the flow NLL; jit at the call site."""
+
+    import optax
+
+    def step(opt_state, params, audio, mel):
+        def loss_fn(p):
+            z, log_s, log_det = forward(p, audio, mel, cfg)
+            return waveglow_loss(z, log_s, log_det, sigma)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return opt_state, params, loss
+
+    return step

@@ -81,3 +81,27 @@ def test_log_det_terms(params):
     assert len(log_s_list) == CFG.n_flows
     assert len(log_det_list) == CFG.n_flows
     assert all(np.isfinite(float(d)) for d in log_det_list)
+
+
+def test_waveglow_loss_and_training_descends(params):
+    """Flow-NLL training (the reference never trains its vocoder — it loads
+    a pickled pretrained model, synthesizer.py:79-80): a few Adam steps on
+    one batch must reduce the NLL, and the loss must be finite/grad-clean."""
+    import optax
+
+    rng = np.random.RandomState(0)
+    B, n_mel_frames = 2, 9
+    samples = n_mel_frames * 256
+    audio = jnp.asarray(rng.randn(B, samples).astype(np.float32) * 0.1)
+    mel = jnp.asarray(rng.randn(B, 80, n_mel_frames).astype(np.float32))
+
+    opt = optax.adam(1e-3)
+    p = wg.init(jax.random.PRNGKey(1), CFG)
+    step = jax.jit(wg.make_waveglow_train_step(CFG, opt))
+    opt_state = opt.init(p)
+    losses = []
+    for _ in range(30):
+        opt_state, p, loss = step(opt_state, p, audio, mel)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] - 0.1, losses[::10]
