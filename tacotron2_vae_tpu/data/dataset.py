@@ -213,7 +213,9 @@ class TextMelDataset:
             if len(audio) <= pad:  # sub-pad-length clip: serial fallback
                 continue
             padded = np.pad(audio.astype(np.float32), pad, mode="reflect")
-            n_frames = len(audio) // hop + 1
+            # serial-path frame arithmetic (dsp/stft.py::frame_signal over
+            # the reflect-padded signal) — == len//hop + 1 for even n_fft
+            n_frames = (len(audio) + 2 * pad - n_fft) // hop + 1
             n_chunks = -(-n_frames // chunk_frames)
             need = (n_chunks - 1) * stride + width
             if need > len(padded):

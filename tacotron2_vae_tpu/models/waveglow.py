@@ -197,8 +197,11 @@ def forward(params, audio, mel, cfg: WaveGlowConfig = WaveGlowConfig()):
         # invertible 1x1
         w = flow["inv_conv"]["w"]
         x = jnp.einsum("btc,cd->btd", x, w)
+        # NVIDIA glow.py Invertible1x1Conv.forward: log_det_W =
+        # batch_size * n_of_groups * logdet(W) — the Jacobian term counts
+        # once per (batch item, time position)
         log_det_all.append(
-            x.shape[1] * jnp.linalg.slogdet(w)[1] * jnp.ones(())
+            x.shape[0] * x.shape[1] * jnp.linalg.slogdet(w)[1] * jnp.ones(())
         )
         # affine coupling
         n_half = x.shape[-1] // 2

@@ -77,15 +77,12 @@ class Tacotron2Logger:
             plot_spectrogram_to_numpy(np.asarray(outputs.mel_outputs_postnet[idx])),
             iteration, dataformats="HWC",
         )
-        # Gate outputs are per decoder step; upsample to per-frame when
-        # n_frames_per_step > 1 so target/prediction share the x axis.
-        gate_t = np.asarray(gate_target[idx])
-        gate_p = _sigmoid(np.asarray(outputs.gate_outputs[idx]))
-        if gate_p.shape[0] != gate_t.shape[0]:
-            gate_p = np.repeat(gate_p, gate_t.shape[0] // gate_p.shape[0])
         w.add_image(
             "gate",
-            plot_gate_outputs_to_numpy(gate_t, gate_p),
+            plot_gate_outputs_to_numpy(
+                np.asarray(gate_target[idx]),
+                _sigmoid(np.asarray(outputs.gate_outputs[idx])),
+            ),
             iteration, dataformats="HWC",
         )
         # Latent scatter colored by emotion (logger.py:49-56).

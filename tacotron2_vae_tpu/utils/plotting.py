@@ -40,6 +40,12 @@ def plot_spectrogram_to_numpy(spectrogram: np.ndarray):
 
 
 def plot_gate_outputs_to_numpy(gate_targets, gate_outputs):
+    # per-step gate predictions (n_frames_per_step > 1) are upsampled to
+    # the per-frame target axis so both series share x
+    if len(gate_outputs) != len(gate_targets):
+        gate_outputs = np.repeat(
+            np.asarray(gate_outputs), len(gate_targets) // len(gate_outputs)
+        )
     fig, ax = plt.subplots(figsize=(12, 3))
     ax.scatter(
         range(len(gate_targets)), gate_targets, alpha=0.5,

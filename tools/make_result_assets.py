@@ -58,37 +58,16 @@ from tacotron2_vae_tpu.utils.plotting import (
     plot_tsne,
 )
 
+from smoke_train import synth_batch as _synth_batch  # noqa: E402  (tools/ is sys.path[0] when run as a script)
+
 FRAMES_PER_CHAR = 4
 EMO_TILT = 0.8  # per-emotion spectral tilt amplitude
 
 
 def synth_batch(rng, hp, B, S):
-    """Synthetic aligned text->mel task with emotion-conditional tilt."""
-    T = S * FRAMES_PER_CHAR
-    text = rng.randint(2, hp.n_symbols, size=(B, S)).astype(np.int32)
-    bank = np.sin(
-        np.arange(hp.n_mel_channels)[None, :]
-        * (1.0 + np.arange(hp.n_symbols)[:, None] * 0.13)
-    ).astype(np.float32) * 2.0 - 5.0
-    mel = bank[text][:, :, None, :].repeat(FRAMES_PER_CHAR, axis=2)
-    mel = mel.reshape(B, T, hp.n_mel_channels).transpose(0, 2, 1)
-    emo = rng.randint(0, hp.n_emotions, size=B)
-    # distinct per-emotion spectral shape (what the VAE should encode)
-    tilt = np.cos(
-        np.arange(hp.n_mel_channels)[None, :] * (0.05 + 0.11 * emo[:, None])
-    ).astype(np.float32) * EMO_TILT
-    mel = mel + tilt[:, :, None]
-    mel = mel + rng.randn(*mel.shape).astype(np.float32) * 0.05
-    gate = np.zeros((B, T), np.float32)
-    gate[:, -1] = 1.0
-    return {
-        "text": jnp.asarray(text),
-        "input_lengths": jnp.full((B,), S, jnp.int32),
-        "mel": jnp.asarray(mel),
-        "gate": jnp.asarray(gate),
-        "output_lengths": jnp.full((B,), T, jnp.int32),
-        "emotions": jnp.asarray(np.eye(hp.n_emotions, dtype=np.float32)[emo]),
-    }
+    """Emotion-conditional variant of the smoke task (tilt through the VAE)."""
+    return _synth_batch(rng, hp, B, S, frames_per_char=FRAMES_PER_CHAR,
+                        emotion_tilt=EMO_TILT)
 
 
 def _save(img: np.ndarray, path: str):
@@ -114,12 +93,14 @@ def _curve(path: str, xs, ys, title: str, ylabel: str, extra=None):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--steps", type=int, default=3000)  # min 25 (curve cadence)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--seq", type=int, default=32)
     p.add_argument("--out", type=str, default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "res"))
     args = p.parse_args()
+    if args.steps < 25:
+        p.error("--steps must be >= 25 (metrics are recorded every 25 steps)")
     os.makedirs(args.out, exist_ok=True)
 
     # constant-0.001 KL weight (a reference anneal mode): the synthetic
@@ -183,12 +164,10 @@ def main():
           os.path.join(args.out, "mel_predicted.png"))
     _save(plot_spectrogram_to_numpy(np.asarray(val_batch["mel"][0])),
           os.path.join(args.out, "mel_target.png"))
-    gate_t = np.asarray(val_batch["gate"][0])
-    gate_p = 1.0 / (1.0 + np.exp(-np.asarray(out.gate_outputs[0])))
-    if gate_p.shape[0] != gate_t.shape[0]:
-        gate_p = np.repeat(gate_p, gate_t.shape[0] // gate_p.shape[0])
-    _save(plot_gate_outputs_to_numpy(gate_t, gate_p),
-          os.path.join(args.out, "gate.png"))
+    _save(plot_gate_outputs_to_numpy(
+        np.asarray(val_batch["gate"][0]),
+        1.0 / (1.0 + np.exp(-np.asarray(out.gate_outputs[0]))),
+    ), os.path.join(args.out, "gate.png"))
 
     # ---- latent scatter + t-SNE over many eval batches ----
     mus, zs, labels = [], [], []

@@ -42,8 +42,13 @@ from tacotron2_vae_tpu.training.train_state import (
 )
 
 
-def synth_batch(rng, hp, B, S, frames_per_char=4):
-    """Synthetic aligned text->mel task."""
+def synth_batch(rng, hp, B, S, frames_per_char=4, emotion_tilt=0.0):
+    """Synthetic aligned text->mel task.
+
+    With ``emotion_tilt`` > 0, each emotion adds a distinct spectral tilt to
+    the mel — reachable only through the VAE latent, so the prosody encoder
+    must separate emotions (used by tools/make_result_assets.py for the
+    latent scatter/t-SNE result images)."""
     T = S * frames_per_char
     text = rng.randint(2, hp.n_symbols, size=(B, S)).astype(np.int32)
     # character-specific spectral pattern bank
@@ -52,6 +57,12 @@ def synth_batch(rng, hp, B, S, frames_per_char=4):
     ).astype(np.float32) * 2.0 - 5.0
     mel = bank[text][:, :, None, :].repeat(frames_per_char, axis=2)
     mel = mel.reshape(B, T, hp.n_mel_channels).transpose(0, 2, 1)
+    emo = rng.randint(0, hp.n_emotions, size=B)
+    if emotion_tilt:
+        tilt = np.cos(
+            np.arange(hp.n_mel_channels)[None, :] * (0.05 + 0.11 * emo[:, None])
+        ).astype(np.float32) * emotion_tilt
+        mel = mel + tilt[:, :, None]
     mel = mel + rng.randn(*mel.shape).astype(np.float32) * 0.05
     gate = np.zeros((B, T), np.float32)
     gate[:, -1] = 1.0
@@ -61,9 +72,7 @@ def synth_batch(rng, hp, B, S, frames_per_char=4):
         "mel": jnp.asarray(mel),
         "gate": jnp.asarray(gate),
         "output_lengths": jnp.full((B,), T, jnp.int32),
-        "emotions": jnp.asarray(
-            np.eye(hp.n_emotions, dtype=np.float32)[rng.randint(0, 4, B)]
-        ),
+        "emotions": jnp.asarray(np.eye(hp.n_emotions, dtype=np.float32)[emo]),
     }
 
 

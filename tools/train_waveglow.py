@@ -13,9 +13,9 @@ Usage:
       --output_dir /tmp/wg --steps 10000 [--segment 16000] [--batch 4] \
       [--sigma 1.0] [--lr 1e-4]
 
-Checkpoints are .npz pytree snapshots loadable with
-tools/convert_torch_ckpt.load_waveglow_npz-style flattening; resume with
---resume <path.npz>.
+Checkpoints are orbax PyTree snapshots of the FULL training state
+(params + Adam state + step — same convention as training/checkpoint.py);
+resume with --resume <dir> for a bit-continuous trajectory.
 """
 
 from __future__ import annotations
@@ -45,6 +45,7 @@ except Exception:
     pass
 
 import optax
+import orbax.checkpoint as ocp
 
 from tacotron2_vae_tpu.data import native
 from tacotron2_vae_tpu.dsp.stft import TacotronSTFT
@@ -52,30 +53,8 @@ from tacotron2_vae_tpu.models import waveglow as wg
 from tacotron2_vae_tpu.data.dataset import load_filepaths_and_text
 
 
-def flatten_params(tree, prefix=""):
-    out = {}
-    if isinstance(tree, dict):
-        for k, v in tree.items():
-            out.update(flatten_params(v, f"{prefix}{k}/"))
-    elif isinstance(tree, (list, tuple)):
-        for i, v in enumerate(tree):
-            out.update(flatten_params(v, f"{prefix}{i}/"))
-    else:
-        out[prefix[:-1]] = np.asarray(tree)
-    return out
-
-
-def unflatten_into(tree, flat, prefix=""):
-    if isinstance(tree, dict):
-        return {k: unflatten_into(v, flat, f"{prefix}{k}/")
-                for k, v in tree.items()}
-    if isinstance(tree, list):
-        return [unflatten_into(v, flat, f"{prefix}{i}/")
-                for i, v in enumerate(tree)]
-    if isinstance(tree, tuple):
-        return tuple(unflatten_into(v, flat, f"{prefix}{i}/")
-                     for i, v in enumerate(tree))
-    return jnp.asarray(flat[prefix[:-1]])
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
 class SegmentSampler:
@@ -89,14 +68,22 @@ class SegmentSampler:
         self.stft = TacotronSTFT(1024, 256, 1024, 80, sr, 0.0, 8000.0)
 
     def batch(self, n):
-        segs = []
+        segs, failures = [], 0
         while len(segs) < n:
+            if failures >= max(50, 3 * len(self.entries)):
+                raise RuntimeError(
+                    f"No usable wavs after {failures} attempts — check the "
+                    f"filelist paths and that the corpus is "
+                    f"{self.sr} Hz (use --sampling_rate)."
+                )
             path = self.entries[self.rng.randint(len(self.entries))]
             try:
                 audio, sr = native.load_wav(path, scale=32768.0)
             except (FileNotFoundError, OSError, ValueError):
+                failures += 1
                 continue
             if sr != self.sr:
+                failures += 1
                 continue
             if len(audio) < self.segment:
                 audio = np.pad(audio, (0, self.segment - len(audio)))
@@ -142,18 +129,37 @@ def main():
         n_layers=args.n_layers,
     )
     params = wg.init(jax.random.PRNGKey(0), cfg)
-    start_step = 0
-    if args.resume:
-        flat = dict(np.load(args.resume))
-        start_step = int(flat.pop("__step__", 0))
-        params = unflatten_into(params, flat)
-
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
     opt_state = opt.init(params)
+    start_step = 0
+    ckptr = ocp.PyTreeCheckpointer()
+    if args.resume:
+        template = {
+            "step": 0,
+            "params": _to_host(params),
+            "opt_state": _to_host(opt_state),
+        }
+        payload = ckptr.restore(os.path.abspath(args.resume), item=template)
+        start_step = int(payload["step"])
+        params = payload["params"]
+        # restore leaves into the optax pytree (preserves NamedTuple types)
+        opt_state = jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, getattr(t, "dtype", None)),
+            opt_state, payload["opt_state"],
+        )
+    if start_step >= args.steps:
+        print(json.dumps({"final_loss": None, "steps": start_step,
+                          "note": "resume step >= --steps; nothing to do"}))
+        return
     step_fn = jax.jit(wg.make_waveglow_train_step(cfg, opt, args.sigma))
 
-    sampler = SegmentSampler(args.filelist, args.segment, args.sampling_rate)
-    t0 = None
+    # advance the segment RNG past the segments earlier steps consumed so a
+    # resumed run continues the stream instead of replaying it
+    sampler = SegmentSampler(
+        args.filelist, args.segment, args.sampling_rate,
+        seed=1234 + start_step,
+    )
+    t0, loss = None, None
     for i in range(start_step, args.steps):
         audio, mel = sampler.batch(args.batch)
         opt_state, params, loss = step_fn(opt_state, params, audio, mel)
@@ -164,10 +170,14 @@ def main():
             rate = (i - start_step) / (time.perf_counter() - t0)
             print(f"step {i + 1}: loss {float(loss):.4f}  {rate:.1f} steps/s")
         if (i + 1) % args.checkpoint_every == 0 or i + 1 == args.steps:
-            flat = flatten_params(jax.device_get(params))
-            flat["__step__"] = np.asarray(i + 1)
-            path = os.path.join(args.output_dir, f"waveglow_{i + 1}.npz")
-            np.savez(path, **flat)
+            path = os.path.abspath(
+                os.path.join(args.output_dir, f"waveglow_{i + 1}")
+            )
+            ckptr.save(path, {
+                "step": i + 1,
+                "params": _to_host(params),
+                "opt_state": _to_host(opt_state),
+            }, force=True)
             print("saved", path)
     print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
 
