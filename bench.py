@@ -95,12 +95,16 @@ def main():
         "emotions": jax.numpy.asarray(np.eye(hp.n_emotions, dtype=np.float32)[
             rng.randint(0, hp.n_emotions, size=B2)]),
     }
+    # AOT-compile the B=64 step ONCE: the same executable serves the timing
+    # loop and the cost analysis (a second .lower().compile() costs minutes
+    # through the remote-compile tunnel and used to eat the soft budget).
     ts64 = create_train_state(jax.random.PRNGKey(0), hp)
-    ts64, m64 = step(ts64, batch64, jax.random.PRNGKey(0))
+    compiled64 = step.lower(ts64, batch64, jax.random.PRNGKey(0)).compile()
+    ts64, m64 = compiled64(ts64, batch64, jax.random.PRNGKey(0))
     float(m64["loss"])
     t0 = time.perf_counter()
     for i in range(8):
-        ts64, m64 = step(ts64, batch64, jax.random.PRNGKey(i))
+        ts64, m64 = compiled64(ts64, batch64, jax.random.PRNGKey(0))
     float(m64["loss"])
     dt64 = (time.perf_counter() - t0) / 8
     frames_per_sec_b64 = B2 * T / dt64
@@ -109,8 +113,7 @@ def main():
     flops_per_step = None
     mfu_b64 = None
     try:
-        compiled = step.lower(ts64, batch64, jax.random.PRNGKey(0)).compile()
-        ca = compiled.cost_analysis()
+        ca = compiled64.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
         flops_per_step = float(ca.get("flops", 0.0)) or None
     except Exception:
