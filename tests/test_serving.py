@@ -258,3 +258,32 @@ def test_http_api(artifacts, tmp_path, monkeypatch):
             assert len(payload["data"]) > 100  # base64 wav
     finally:
         server.shutdown()
+
+
+def test_synthesize_with_r2_checkpoint(tmp_path):
+    """End-to-end serving from an n_frames_per_step=2 checkpoint: the
+    decoder emits 2 frames per step; lengths are frame counts and gate/
+    alignment trimming is per-step (serving/synthesizer.py)."""
+    import pickle
+
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    hp = create_hparams(TINY + ",n_frames_per_step=2")
+    params, state = tacotron2.init(jax.random.PRNGKey(0), hp)
+    ckpt = str(tmp_path / "model_r2.pkl")
+    with open(ckpt, "wb") as f:
+        pickle.dump({"params": jax.device_get(params),
+                     "model_state": jax.device_get(state)}, f)
+    synth = Synthesizer(hp)
+    synth.load(ckpt, None, centroid_filelist=str(tmp_path / "missing.txt"))
+    mel, mel_post, gate, align, n = synth.synthesize_mel(
+        "안녕", np.zeros(hp.E, np.float32)
+    )
+    # serving pins max_decoder_steps=600 (reference synthesizer.py:50-51);
+    # at r=2 that is up to 1200 frames
+    assert mel.shape[2] == n and n % 2 == 0 and n <= 600 * 2
+    assert gate.shape[1] == (n + 1) // 2
+    out = str(tmp_path / "r2.wav")
+    synth.synthesize("안녕하세요", out, False, None, [1.0, 0.0, 0.0, 0.0])
+    wav, sr = load_wav(out)
+    assert sr == 16000 and np.isfinite(wav).all()
