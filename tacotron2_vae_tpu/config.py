@@ -56,6 +56,8 @@ class HParams:
     training_files: str = "filelists/koemo_spk_emo_all_train.txt"
     validation_files: str = "filelists/koemo_spk_emo_all_valid.txt"
     text_cleaners: List[str] = _tuple("korean_cleaners")
+    # accepted-but-unused in the reference too (hparams.py:29); batches are
+    # always length-sorted by collate (data_utils.py:95-97 semantics)
     sort_by_length: bool = False
 
     ################################
@@ -301,5 +303,16 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
     if hp.n_frames_per_step < 1:
         raise ValueError(
             f"n_frames_per_step={hp.n_frames_per_step} must be >= 1"
+        )
+    # ref-encoder conv geometry is accepted for config-surface parity but
+    # fixed at the reference values (3x3, stride 2, pad 1 — modules.py:56-60)
+    # in models/vae_gst.py; fail fast rather than silently ignore overrides.
+    if (tuple(hp.ref_enc_size) != (3, 3)
+            or tuple(hp.ref_enc_strides) != (2, 2)
+            or tuple(hp.ref_enc_pad) != (1, 1)):
+        raise ValueError(
+            "ref_enc_size/ref_enc_strides/ref_enc_pad are fixed at the "
+            "reference geometry (3x3 convs, stride 2, pad 1) in this "
+            "implementation; adjust ref_enc_filters for capacity instead."
         )
     return hp

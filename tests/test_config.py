@@ -50,3 +50,15 @@ def test_immutability():
 def test_replace():
     hp = create_hparams().replace(batch_size=2)
     assert hp.batch_size == 2
+
+
+def test_ref_enc_geometry_overrides_fail_fast():
+    """ref_enc_size/strides/pad are config-surface parity keys fixed at the
+    reference geometry; silent no-op overrides would be a trap."""
+    import pytest
+    from tacotron2_vae_tpu.config import create_hparams
+
+    for bad in ("ref_enc_strides=[3,3]", "ref_enc_size=[5,5]",
+                "ref_enc_pad=[0,0]"):
+        with pytest.raises(ValueError):
+            create_hparams(bad)
