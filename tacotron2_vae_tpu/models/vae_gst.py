@@ -56,20 +56,36 @@ def init(key, hp):
     return params, {"bns": bn_state}
 
 
-def add_coords_2d(x: jnp.ndarray) -> jnp.ndarray:
+def add_coords_2d(x: jnp.ndarray, lengths=None) -> jnp.ndarray:
     """Append normalized row/col/radius channels (NHWC).
 
     Matches reference AddCoords rank-2 with_r=True (CoordConv.py:37-74):
     row index scaled by H-1 to [-1,1], col index by W-1, radius about the
     post-scaling 0.5 point.
+
+    With ``lengths`` (B,), rows are normalized by each item's OWN valid
+    height (the per-item H the reference would see for an unpadded clip),
+    so bucket-padded batches reproduce per-item coordinates exactly;
+    rows >= length are zeroed (the caller re-zeroes them anyway).
     """
     B, H, W, _ = x.shape
     rows = jax.lax.broadcasted_iota(jnp.float32, (B, H, W, 1), 1)
     cols = jax.lax.broadcasted_iota(jnp.float32, (B, H, W, 1), 2)
-    rows = rows / jnp.maximum(H - 1, 1) * 2.0 - 1.0
+    if lengths is None:
+        rows = rows / jnp.maximum(H - 1, 1) * 2.0 - 1.0
+    else:
+        den = jnp.maximum(lengths - 1, 1).astype(jnp.float32)
+        rows = rows / den[:, None, None, None] * 2.0 - 1.0
     cols = cols / jnp.maximum(W - 1, 1) * 2.0 - 1.0
     r = jnp.sqrt((rows - 0.5) ** 2 + (cols - 0.5) ** 2)
-    return jnp.concatenate([x, rows, cols, r], axis=-1)
+    out = jnp.concatenate([x, rows, cols, r], axis=-1)
+    if lengths is not None:
+        valid = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, H, 1, 1), 1)
+            < lengths[:, None, None, None]
+        )
+        out = jnp.where(valid, out, 0.0)
+    return out
 
 
 def add_coords_1d(x: jnp.ndarray, with_r: bool = False) -> jnp.ndarray:
@@ -112,7 +128,7 @@ def add_coords_3d(x: jnp.ndarray, with_r: bool = False) -> jnp.ndarray:
 
 
 def reference_encoder(params, state, mel, *, train: bool, dtype=None,
-                      raw_reshape: bool = False):
+                      raw_reshape: bool = False, mel_lengths=None):
     """mel: (B, n_mels, T) -> (B, E//2) prosody summary.
 
     Reference modules.py:65-80: view as (B,1,T,n_mels) image, 6 stride-2
@@ -126,38 +142,71 @@ def reference_encoder(params, state, mel, *, train: bool, dtype=None,
     transpose; ``raw_reshape=True`` reproduces the reference layout
     bit-for-bit for converted upstream checkpoints (whose conv weights were
     trained on the scrambled image).
+
+    With ``mel_lengths`` (B,), mels may be zero-padded along time to a
+    shared static length and the result is EXACT for each item: invalid
+    time rows are re-zeroed after every conv+BN+ReLU level (BN's bias makes
+    conv-of-zeros nonzero, which would otherwise bleed into the next
+    level's boundary — same invariant as the transcript encoder's masked
+    convs), and the GRU freezes its state past each item's valid step
+    count.  This is what lets the serving centroid precompute batch
+    hundreds of variable-length reference clips into a few bucketed jit
+    calls instead of one eager forward per clip.
     """
     if raw_reshape:
+        if mel_lengths is not None:
+            raise ValueError(
+                "mel_lengths masking is undefined for the raw_reshape "
+                "compat layout (time is scrambled across image rows)"
+            )
         # numpy/jax row-major == torch contiguous: same buffer reinterpretation
         x = mel.reshape(mel.shape[0], -1, mel.shape[1])[..., None]  # NHWC
     else:
         x = jnp.swapaxes(mel, 1, 2)[..., None]  # (B, T, n_mels, 1) NHWC
+    valid_len = None
+    if mel_lengths is not None:
+        valid_len = jnp.asarray(mel_lengths, jnp.int32)
+        x = jnp.where(
+            (jnp.arange(x.shape[1])[None, :] < valid_len[:, None])
+            [:, :, None, None],
+            x, 0.0,
+        )
     new_bns = []
     for i, (cp, bp) in enumerate(zip(params["convs"], params["bns"])):
         if i == 0:
-            x = add_coords_2d(x)
+            x = add_coords_2d(x, lengths=valid_len)
         x = conv2d(cp, x, stride=(2, 2), padding=((1, 1), (1, 1)), dtype=dtype)
         x, bn_s = batchnorm(bp, state["bns"][i], x, train)
         x = jax.nn.relu(x)
+        if valid_len is not None:
+            # stride-2 k=3 pad-1 output count for a length-L input
+            valid_len = (valid_len - 1) // 2 + 1
+            x = jnp.where(
+                (jnp.arange(x.shape[1])[None, :] < valid_len[:, None])
+                [:, :, None, None],
+                x, 0.0,
+            )
         new_bns.append(bn_s)
     B, T, F, C = x.shape
     # Match reference flattening order: NCHW out is transposed to
     # [N, T, C, F'] before the view (modules.py:73-76), i.e. channel-major.
     x = jnp.swapaxes(x, 2, 3).reshape(B, T, C * F)
-    _, h_final = gru_scan(params["gru"], x, dtype=dtype)
+    _, h_final = gru_scan(params["gru"], x, lengths=valid_len, dtype=dtype)
     return h_final, {"bns": new_bns}
 
 
 def apply(params, state, mel, *, train: bool, rng=None, dtype=None,
-          raw_reshape: bool = False):
+          raw_reshape: bool = False, mel_lengths=None):
     """VAE forward: mel (B, n_mels, T) -> (style_embed, mu, logvar, z), state.
 
     Training samples z = mu + eps*std; eval returns mu (modules.py:16-22).
-    ``raw_reshape`` selects the reference-compatible input layout (see
+    ``raw_reshape`` selects the reference-compatible input layout and
+    ``mel_lengths`` enables exact bucket-padded batching (see
     ``reference_encoder``).
     """
     enc, new_state = reference_encoder(params, state, mel, train=train,
-                                       dtype=dtype, raw_reshape=raw_reshape)
+                                       dtype=dtype, raw_reshape=raw_reshape,
+                                       mel_lengths=mel_lengths)
     mu = linear(params["fc1"], enc)
     logvar = linear(params["fc2"], enc)
     if train:

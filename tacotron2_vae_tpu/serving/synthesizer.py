@@ -129,6 +129,56 @@ class Synthesizer:
             self.neu = self.sad = self.ang = self.hap = z
             self.centroids_loaded = False
 
+    def _embed_mels(self, mels) -> list:
+        """VAE latents for a list of (n_mel, T) mels.
+
+        Default path: bucket-pad along time (exact under padding — see
+        vae_gst.reference_encoder mel_lengths) and embed 16 clips per
+        jitted call; an eager forward per clip through the remote device
+        costs ~0.3 s each, which for the reference test manifest (1232
+        clips) is minutes of serving cold-start vs seconds batched.  The
+        raw_reshape compat layout scrambles time, so it keeps the serial
+        exact path.
+        """
+        if not mels:
+            return []
+        if self.hparams.ref_enc_raw_reshape:
+            out = []
+            for m in mels:
+                (_, _, _, z), _ = vae_gst.apply(
+                    self.params["vae_gst"], self.model_state["vae_gst"],
+                    jnp.asarray(m)[None], train=False, raw_reshape=True,
+                )
+                out.append(np.asarray(z)[0])
+            return out
+
+        batch, bucket = 16, 128
+        fn = jax.jit(
+            lambda p, s, m, l: vae_gst.apply(
+                p, s, m, train=False, mel_lengths=l
+            )[0][3]
+        )
+        order = sorted(range(len(mels)), key=lambda i: mels[i].shape[1])
+        zs = [None] * len(mels)
+        for i in range(0, len(order), batch):
+            idx = order[i : i + batch]
+            max_t = max(mels[j].shape[1] for j in idx)
+            pad_t = -(-max_t // bucket) * bucket
+            buf = np.zeros(
+                (batch, self.hparams.n_mel_channels, pad_t), np.float32
+            )
+            lens = np.ones((batch,), np.int32)  # pad rows: length-1 dummies
+            for row, j in enumerate(idx):
+                buf[row, :, : mels[j].shape[1]] = mels[j]
+                lens[row] = mels[j].shape[1]
+            z = np.asarray(fn(
+                self.params["vae_gst"], self.model_state["vae_gst"],
+                jnp.asarray(buf), jnp.asarray(lens),
+            ))
+            for row, j in enumerate(idx):
+                zs[j] = z[row]
+        return zs
+
     def _load_centroids(self, checkpoint_path: str, filelist: str) -> int:
         """Per-emotion latent centroids, cached to .npz beside the checkpoint
         (reference synthesizer.py:82-110).  Entries whose wav can't be read
@@ -149,20 +199,24 @@ class Synthesizer:
                 for line in open(filelist, encoding="utf-8")
                 if line.strip()
             ]
-            zs, emotions, skipped = [], [], 0
+            audios, emotions, skipped = [], [], 0
             for audio_path, _text, _spk, emotion in entries:
                 try:
-                    mel = self.load_mel(audio_path)
+                    audio, sr = load_wav(audio_path)
+                    if sr != self.hparams.sampling_rate:
+                        raise ValueError(f"{sr} != target SR")
                 except (FileNotFoundError, OSError, ValueError):
                     skipped += 1
                     continue
-                (_, _, _, z), _ = vae_gst.apply(
-                    self.params["vae_gst"], self.model_state["vae_gst"],
-                    mel, train=False,
-                    raw_reshape=self.hparams.ref_enc_raw_reshape,
-                )
-                zs.append(np.asarray(z)[0])
+                audios.append(audio / self.hparams.max_wav_value)
                 emotions.append(int(emotion))
+            # fixed-chunk batched featurization + bucket-batched VAE: the
+            # serial per-clip path costs ~1 s/clip through the remote
+            # device — minutes over the reference's 1232-clip manifest.
+            from ..dsp.stft import featurize_wavs_chunked
+
+            mels = featurize_wavs_chunked(self.stft, audios) if audios else []
+            zs = self._embed_mels(mels)
             if skipped:
                 import warnings
 
@@ -335,7 +389,19 @@ def _load_any_checkpoint(path: str, hp):
         from ..training.checkpoint import load_checkpoint
         from ..training.train_state import create_train_state
 
-        ts = create_train_state(jax.random.PRNGKey(0), hp)
+        # The restore template only provides tree structure/shapes — build
+        # it on host CPU: random-initializing the full model + optimizer
+        # eagerly on the remote device costs ~3.5 min of serving cold-start
+        # (measured); on CPU it is ~2 s.
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                ts = create_train_state(jax.random.PRNGKey(0), hp)
+        else:
+            ts = create_train_state(jax.random.PRNGKey(0), hp)
         ts, _, _ = load_checkpoint(path, ts)
         return ts.params, ts.model_state
     with open(path, "rb") as f:

@@ -246,3 +246,43 @@ def test_bilstm_packed_semantics_match_torch():
     np.testing.assert_allclose(
         np.asarray(out_j), out_t.detach().numpy(), atol=1e-5
     )
+
+
+def test_reference_encoder_exact_under_bucket_padding():
+    """mel_lengths masking: zero-padding mels to a shared static length and
+    passing lengths gives EXACTLY the per-item embeddings (per-level conv
+    re-zeroing + GRU state freeze) — the invariant behind the batched
+    serving centroid precompute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tacotron2_vae_tpu.config import create_hparams
+    from tacotron2_vae_tpu.models import vae_gst
+
+    hp = create_hparams(
+        "E=32,ref_enc_gru_size=16,z_latent_dim=4,ref_enc_filters=[2,2,4,4,8,8]"
+    )
+    params, state = vae_gst.init(jax.random.PRNGKey(0), hp)
+    rng = np.random.RandomState(0)
+    lengths = [37, 64, 101]
+    pad_T = 128
+    mels = [rng.randn(hp.n_mel_channels, L).astype(np.float32)
+            for L in lengths]
+
+    exact = [
+        np.asarray(vae_gst.apply(
+            params, state, jnp.asarray(m)[None], train=False,
+        )[0][1])[0]  # mu
+        for m in mels
+    ]
+    padded = np.zeros((len(mels), hp.n_mel_channels, pad_T), np.float32)
+    for i, m in enumerate(mels):
+        padded[i, :, : m.shape[1]] = m
+    (style, mu, logvar, z), _ = vae_gst.apply(
+        params, state, jnp.asarray(padded), train=False,
+        mel_lengths=jnp.asarray(lengths),
+    )
+    for i in range(len(mels)):
+        np.testing.assert_allclose(np.asarray(mu)[i], exact[i],
+                                   atol=1e-5, rtol=1e-5)
