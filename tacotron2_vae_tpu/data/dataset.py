@@ -159,77 +159,42 @@ class TextMelDataset:
         if not todo:
             return 0
         from . import native
+        from ..dsp.stft import featurize_wavs_chunked
 
-        n_fft = self.hp.filter_length
-        pad = n_fft // 2
-        hop = self.hp.hop_length
-        stride = chunk_frames * hop  # samples between chunk starts
-        width = (chunk_frames - 1) * hop + n_fft  # samples per chunk row
-
+        pad = self.hp.filter_length // 2
         written = 0
-        # Stream: decode utterances until >= batch_chunks rows are pending,
-        # featurize, reassemble finished utterances, write caches.
-        pending_rows: list[np.ndarray] = []  # chunk rows awaiting device
-        pending_meta: list[tuple[int, int]] = []  # (utt_id, chunk_idx)
-        utts: dict[int, dict] = {}  # utt_id -> {path, n_frames, parts, left}
-
-        def flush(drain: bool = False):
-            nonlocal written, pending_rows, pending_meta
-            while (len(pending_rows) >= batch_chunks
-                   or (drain and pending_rows)):
-                take = pending_rows[:batch_chunks]
-                meta = pending_meta[:batch_chunks]
-                pending_rows = pending_rows[batch_chunks:]
-                pending_meta = pending_meta[batch_chunks:]
-                buf = np.zeros((batch_chunks, width), np.float32)
-                for j, row in enumerate(take):
-                    buf[j] = row
-                mels = np.asarray(self.stft.mel_spectrogram_prepadded(buf))
-                for j, (uid, cidx) in enumerate(meta):
-                    u = utts[uid]
-                    u["parts"][cidx] = mels[j]
-                    u["left"] -= 1
-                    if u["left"] == 0:
-                        mel = np.concatenate(
-                            [u["parts"][c] for c in range(len(u["parts"]))],
-                            axis=1,
-                        )[:, : u["n_frames"]].astype(np.float32)
-                        cache = self.mel_cache_path(u["path"])
-                        tmp = f"{cache}.{os.getpid()}.tmp.npy"
-                        try:
-                            np.save(tmp, mel)
-                            os.replace(tmp, cache)
-                            written += 1
-                        except OSError:
-                            pass  # read-only corpus: cache is best-effort
-                        del utts[uid]
-
-        for uid, path in enumerate(todo):
-            audio, sr = native.load_wav(path, scale=self.hp.max_wav_value)
-            if sr != self.hp.sampling_rate:
-                raise ValueError(
-                    f"{sr} SR doesn't match target {self.hp.sampling_rate} SR"
-                )
-            if len(audio) <= pad:  # sub-pad-length clip: serial fallback
+        # Decode + featurize a bounded window of utterances at a time
+        # (streaming keeps host RAM flat over a multi-hour corpus).
+        window = max(1, (4 * batch_chunks * chunk_frames * self.hp.hop_length)
+                     // (8 * self.hp.sampling_rate))  # ~4 device batches
+        for i in range(0, len(todo), window):
+            paths, audios = [], []
+            for path in todo[i : i + window]:
+                audio, sr = native.load_wav(path, scale=self.hp.max_wav_value)
+                if sr != self.hp.sampling_rate:
+                    raise ValueError(
+                        f"{sr} SR doesn't match target "
+                        f"{self.hp.sampling_rate} SR"
+                    )
+                if len(audio) <= pad:  # sub-pad-length clip: serial fallback
+                    continue
+                paths.append(path)
+                audios.append(audio)
+            if not audios:
                 continue
-            padded = np.pad(audio.astype(np.float32), pad, mode="reflect")
-            # serial-path frame arithmetic (dsp/stft.py::frame_signal over
-            # the reflect-padded signal) — == len//hop + 1 for even n_fft
-            n_frames = (len(audio) + 2 * pad - n_fft) // hop + 1
-            n_chunks = -(-n_frames // chunk_frames)
-            need = (n_chunks - 1) * stride + width
-            if need > len(padded):
-                padded = np.pad(padded, (0, need - len(padded)))
-            utts[uid] = {
-                "path": path, "n_frames": n_frames,
-                "parts": [None] * n_chunks, "left": n_chunks,
-            }
-            for c in range(n_chunks):
-                pending_rows.append(padded[c * stride : c * stride + width])
-                pending_meta.append((uid, c))
-            if len(pending_rows) >= batch_chunks:
-                flush()
-        flush(drain=True)
+            mels = featurize_wavs_chunked(
+                self.stft, audios,
+                chunk_frames=chunk_frames, batch_chunks=batch_chunks,
+            )
+            for path, mel in zip(paths, mels):
+                cache = self.mel_cache_path(path)
+                tmp = f"{cache}.{os.getpid()}.tmp.npy"
+                try:
+                    np.save(tmp, mel)
+                    os.replace(tmp, cache)
+                    written += 1
+                except OSError:
+                    pass  # read-only corpus: cache is best-effort
         return written
 
     def max_lengths(self) -> tuple[int, int]:
