@@ -130,3 +130,27 @@ def test_griffin_lim_reduces_spectral_error(wav):
         np.linalg.norm(np.asarray(mag)[..., :n])
     )
     assert rel < 0.35  # phase recovery converges toward the target magnitude
+
+
+def test_featurize_wavs_chunked_matches_serial():
+    """The fixed-chunk batched featurizer (one compile ever — engine behind
+    the training mel-cache warmer AND the serving centroid precompute)
+    reproduces the serial mel_spectrogram for every frame, across utterances
+    shorter than, equal to, and spanning multiple chunks."""
+    import numpy as np
+
+    from tacotron2_vae_tpu.dsp.stft import TacotronSTFT, featurize_wavs_chunked
+
+    stft = TacotronSTFT(1024, 256, 1024, 80, 16000, 0.0, 8000.0,
+                        use_pallas=False)
+    rng = np.random.RandomState(0)
+    # lengths chosen to hit: < 1 chunk, exactly chunk boundary, > 2 chunks
+    lengths = [3000, 8 * 256, 5 * 8 * 256 + 123]
+    wavs = [(0.3 * rng.randn(n)).astype(np.float32).clip(-1, 1)
+            for n in lengths]
+
+    bulk = featurize_wavs_chunked(stft, wavs, chunk_frames=8, batch_chunks=4)
+    for wav, mel in zip(wavs, bulk):
+        serial = np.asarray(stft.mel_spectrogram(wav[None]))[0]
+        assert mel.shape == serial.shape
+        np.testing.assert_allclose(mel, serial, atol=2e-4)
