@@ -163,6 +163,9 @@ class HParams:
     mel_cache: bool = True
     # Batches prefetched ahead of the train step by the background pipeline.
     prefetch_depth: int = 2
+    # Batch-assembly thread-pool width (torch DataLoader num_workers analog,
+    # reference train.py:61; np.load + native collate release the GIL).
+    num_workers: int = 4
     symbol_type: int = 1  # Korean jamo symbol inventory variant (1..4)
     # Hand-written BPTT for the decoder scan (models/decoder_bptt.py):
     # ~1.3x faster training than autodiff, gradient-identical (tests/test_bptt).

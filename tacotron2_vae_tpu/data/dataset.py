@@ -84,6 +84,12 @@ class TextMelDataset:
         if shuffle:
             rng = random.Random(hp.seed)  # reference uses seed 1234
             rng.shuffle(self.entries)
+        # Per-entry memo of the static item parts (tokenized text + one-hot
+        # speaker/emotion vectors).  Tokenization (Korean cleaners, pure
+        # Python) dominates the warm-epoch host cost otherwise; these are
+        # deterministic per entry, so epoch 2+ pays only the mel np.load.
+        # Dict writes are atomic under the GIL — safe for pool workers.
+        self._static_cache: dict = {}
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -133,7 +139,8 @@ class TextMelDataset:
         return mel
 
     def warm_mel_cache(self, chunk_frames: int = 128,
-                       batch_chunks: int = 64) -> int:
+                       batch_chunks: int = 64,
+                       shard: tuple[int, int] = (0, 1)) -> int:
         """Bulk-featurize every un-cached wav in FIXED-SHAPE chunk batches.
 
         The serial path pays one device round-trip per utterance (measured
@@ -152,9 +159,15 @@ class TextMelDataset:
         """
         if self.load_mel_from_disk or not self.mel_cache:
             return 0
+        # Multi-host: cache files live on shared storage, so each host warms
+        # a disjoint (rank, world) slice and the corpus is featurized once
+        # globally instead of `world` times.  Shard the stable entry list
+        # (not the uncached subset) so rank assignment is deterministic even
+        # while other ranks are concurrently writing caches.
+        rank, world = shard
         todo = [
-            e[0] for e in self.entries
-            if not os.path.exists(self.mel_cache_path(e[0]))
+            p for p in [e[0] for e in self.entries][rank::world]
+            if not os.path.exists(self.mel_cache_path(p))
         ]
         if not todo:
             return 0
@@ -226,12 +239,16 @@ class TextMelDataset:
 
     def __getitem__(self, idx: int):
         audiopath, text, speaker, emotion = self.entries[idx][:4]
-        return (
-            self.get_text(text),
-            self.get_mel(audiopath),
-            self.get_onehot(speaker, self.hp.n_speakers),
-            self.get_onehot(emotion, self.hp.n_emotions),
-        )
+        static = self._static_cache.get(idx)
+        if static is None:
+            static = (
+                self.get_text(text),
+                self.get_onehot(speaker, self.hp.n_speakers),
+                self.get_onehot(emotion, self.hp.n_emotions),
+            )
+            self._static_cache[idx] = static
+        tokens, spk, emo = static
+        return (tokens, self.get_mel(audiopath), spk, emo)
 
 
 def collate(
@@ -286,6 +303,7 @@ class DataLoader:
         shard: tuple[int, int] = (0, 1),
         seed: int | None = None,
         fixed_lengths: tuple[int, int] | None = None,
+        num_workers: int | None = None,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -297,6 +315,13 @@ class DataLoader:
         # (text_len, mel_len) to pad every batch to; required when world > 1
         # so all hosts emit identical shapes for the same global step.
         self.fixed_lengths = fixed_lengths
+        # Batch-assembly thread pool width (torch num_workers analog,
+        # reference train.py:61).  np.load and the native collate release
+        # the GIL, so threads give real parallelism without process forks.
+        self.num_workers = (
+            num_workers if num_workers is not None
+            else getattr(hp, "num_workers", 4)
+        )
         self._warmed = False
 
     def __len__(self) -> int:
@@ -305,11 +330,25 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _make_batch(self, chunk: np.ndarray) -> Batch:
+        items = [self.ds[int(i)] for i in chunk]
+        fixed_s, fixed_t = self.fixed_lengths or (None, None)
+        return collate(
+            items,
+            self.hp.n_frames_per_step,
+            text_bucket=self.hp.text_bucket_size,
+            mel_bucket=self.hp.mel_bucket_size,
+            fixed_text_len=fixed_s,
+            fixed_mel_len=fixed_t,
+        )
+
     def epoch(self, epoch_idx: int = 0) -> Iterator[Batch]:
         if not self._warmed:
             # One-time bulk featurization of any un-cached wavs (batched
             # device calls); later epochs and every __getitem__ are np.load.
-            self.ds.warm_mel_cache()
+            # Each host warms only its (rank, world) slice — caches are on
+            # shared storage, so the corpus is featurized once globally.
+            self.ds.warm_mel_cache(shard=(self.rank, self.world))
             self._warmed = True
         idx = np.arange(len(self.ds))
         if self.shuffle:
@@ -317,17 +356,17 @@ class DataLoader:
             rng.shuffle(idx)
         idx = idx[self.rank :: self.world]
         nb = len(idx) // self.batch_size if self.drop_last else len(self)
-        for b in range(nb):
-            chunk = idx[b * self.batch_size : (b + 1) * self.batch_size]
-            if len(chunk) == 0:
-                break
-            items = [self.ds[int(i)] for i in chunk]
-            fixed_s, fixed_t = self.fixed_lengths or (None, None)
-            yield collate(
-                items,
-                self.hp.n_frames_per_step,
-                text_bucket=self.hp.text_bucket_size,
-                mel_bucket=self.hp.mel_bucket_size,
-                fixed_text_len=fixed_s,
-                fixed_mel_len=fixed_t,
+        chunks = [
+            idx[b * self.batch_size : (b + 1) * self.batch_size]
+            for b in range(nb)
+        ]
+        chunks = [c for c in chunks if len(c)]
+        if self.num_workers > 1 and len(chunks) > 1:
+            from .prefetch import prefetch_map
+
+            yield from prefetch_map(
+                self._make_batch, chunks, workers=self.num_workers
             )
+        else:
+            for chunk in chunks:
+                yield self._make_batch(chunk)

@@ -13,6 +13,8 @@ thread-safe; arrays surface on the consumer side fully committed).
 
 from __future__ import annotations
 
+import collections
+import concurrent.futures
 import queue
 import threading
 from typing import Callable, Iterable, Iterator, Optional
@@ -68,3 +70,39 @@ def prefetch(
             yield item
     finally:
         stop.set()
+
+
+def prefetch_map(
+    fn: Callable,
+    items: Iterable,
+    workers: int = 4,
+    depth: Optional[int] = None,
+) -> Iterator:
+    """Order-preserving parallel map through a thread pool.
+
+    The TPU-native answer to torch's multi-worker DataLoader (reference
+    train.py:61-65): ``workers`` threads run ``fn`` (batch assembly —
+    np.load + native collate, both GIL-releasing) concurrently, up to
+    ``depth`` results ahead of the consumer.  Results arrive in input
+    order.  A worker exception re-raises at the consumer's pull of that
+    item; remaining queued work is cancelled on early exit.
+    """
+    if workers <= 1:
+        yield from prefetch((fn(x) for x in items), depth=depth or 2)
+        return
+    depth = depth or 2 * workers
+    pool = concurrent.futures.ThreadPoolExecutor(
+        workers, thread_name_prefix="input-worker"
+    )
+    pending: collections.deque = collections.deque()
+    try:
+        for x in items:
+            pending.append(pool.submit(fn, x))
+            if len(pending) >= depth:
+                yield pending.popleft().result()
+        while pending:
+            yield pending.popleft().result()
+    finally:
+        for f in pending:
+            f.cancel()
+        pool.shutdown(wait=False)

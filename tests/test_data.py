@@ -205,6 +205,72 @@ def test_prefetch_order_transform_and_errors():
     slow.close()
 
 
+def test_prefetch_map_order_errors_and_early_exit():
+    from tacotron2_vae_tpu.data.prefetch import prefetch_map
+
+    # order-preserving under real concurrency (sleep inversely to index)
+    import time as _time
+
+    def slow_sq(x):
+        _time.sleep(0.002 * (8 - x % 8))
+        return x * x
+
+    out = list(prefetch_map(slow_sq, range(32), workers=4))
+    assert out == [x * x for x in range(32)]
+
+    # workers<=1 degenerates to the serial prefetch path
+    assert list(prefetch_map(lambda x: x + 1, range(5), workers=1)) == [
+        1, 2, 3, 4, 5]
+
+    # exception in fn surfaces at that item's position
+    def boom(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    it = prefetch_map(boom, range(6), workers=2)
+    assert next(it) == 0
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)
+
+    # early close doesn't hang
+    it = prefetch_map(lambda x: x, range(1000), workers=2, depth=4)
+    assert next(it) == 0
+    it.close()
+
+
+def test_multiworker_epoch_matches_serial(hp):
+    """num_workers>1 must yield byte-identical batches in the same order."""
+    ds = TextMelDataset(hp.training_files, hp, shuffle=False)
+    serial = DataLoader(ds, 2, hp, shuffle=True, num_workers=1)
+    pooled = DataLoader(ds, 2, hp, shuffle=True, num_workers=4)
+    a = list(serial.epoch(3))
+    b = list(pooled.epoch(3))
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        for k, v in x.asdict().items():
+            np.testing.assert_array_equal(v, y.asdict()[k])
+
+
+def test_warm_mel_cache_sharded_disjoint_and_complete(hp, dataset_dir):
+    """Sharded warming covers the corpus exactly once across ranks."""
+    d, filelist = dataset_dir
+    ds = TextMelDataset(filelist, hp, shuffle=False)
+    paths = [ds.mel_cache_path(e[0]) for e in ds.entries]
+    for p in paths:
+        if os.path.exists(p):
+            os.remove(p)
+    w0 = ds.warm_mel_cache(shard=(0, 2))
+    done_r0 = {p for p in paths if os.path.exists(p)}
+    w1 = ds.warm_mel_cache(shard=(1, 2))
+    done_all = {p for p in paths if os.path.exists(p)}
+    assert w0 + w1 == len(paths)
+    assert 0 < len(done_r0) < len(paths)
+    assert done_all == set(paths)
+
+
 def test_prefetched_epoch_matches_sync_epoch(hp):
     from tacotron2_vae_tpu.data.prefetch import prefetch
 
