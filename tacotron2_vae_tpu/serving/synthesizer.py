@@ -187,8 +187,15 @@ class Synthesizer:
         actually embedded."""
         base = os.path.dirname(os.path.abspath(checkpoint_path))
         tag = os.path.basename(filelist).rsplit("_", 1)[-1].split(".")[0]
+        # Key the cache by checkpoint CONTENT fingerprint (max mtime_ns +
+        # total size over the file/dir), not just basename: re-saving
+        # `checkpoint_1500` from a different run must invalidate, or the
+        # ratio path silently serves centroids from the old weights.
         npz_path = os.path.join(
-            base, os.path.basename(checkpoint_path) + "_" + tag + ".npz"
+            base,
+            os.path.basename(checkpoint_path)
+            + "_" + _ckpt_fingerprint(checkpoint_path)
+            + "_" + tag + ".npz",
         )
         if os.path.exists(npz_path):
             d = np.load(npz_path)
@@ -200,11 +207,18 @@ class Synthesizer:
                 if line.strip()
             ]
             audios, emotions, skipped = [], [], 0
+            # Sub-pad-length clips can't be reflect-padded by the STFT
+            # framing (same constraint as the reference's torch reflect pad)
+            # — skip them like unreadable files instead of letting one
+            # degenerate clip abort the whole bulk featurization.
+            min_len = self.hparams.filter_length // 2 + 1
             for audio_path, _text, _spk, emotion in entries:
                 try:
                     audio, sr = load_wav(audio_path)
                     if sr != self.hparams.sampling_rate:
                         raise ValueError(f"{sr} != target SR")
+                    if len(audio) < min_len:
+                        raise ValueError("clip shorter than STFT pad")
                 except (FileNotFoundError, OSError, ValueError):
                     skipped += 1
                     continue
@@ -380,6 +394,29 @@ class Synthesizer:
 
 
 # --- checkpoint loading helpers -----------------------------------------------
+
+
+def _ckpt_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a checkpoint file or directory: max
+    mtime_ns and summed byte size over every file under it.  Any re-save
+    (even in place, same basename) changes the fingerprint."""
+    mtime, size = 0, 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    st = os.stat(os.path.join(root, f))
+                except OSError:
+                    continue
+                mtime = max(mtime, st.st_mtime_ns)
+                size += st.st_size
+    else:
+        try:
+            st = os.stat(path)
+            mtime, size = st.st_mtime_ns, st.st_size
+        except OSError:
+            pass
+    return f"{mtime:x}{size:x}"
 
 
 def _load_any_checkpoint(path: str, hp):

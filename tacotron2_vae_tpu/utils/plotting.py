@@ -41,11 +41,13 @@ def plot_spectrogram_to_numpy(spectrogram: np.ndarray):
 
 def plot_gate_outputs_to_numpy(gate_targets, gate_outputs):
     # per-step gate predictions (n_frames_per_step > 1) are upsampled to
-    # the per-frame target axis so both series share x
+    # the per-frame target axis so both series share x; ceil-repeat then
+    # trim so non-divisible lengths (frame-trimmed targets) still align
     if len(gate_outputs) != len(gate_targets):
+        reps = -(-len(gate_targets) // len(gate_outputs))
         gate_outputs = np.repeat(
-            np.asarray(gate_outputs), len(gate_targets) // len(gate_outputs)
-        )
+            np.asarray(gate_outputs), reps
+        )[: len(gate_targets)]
     fig, ax = plt.subplots(figsize=(12, 3))
     ax.scatter(
         range(len(gate_targets)), gate_targets, alpha=0.5,

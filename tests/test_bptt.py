@@ -245,3 +245,34 @@ def test_custom_vjp_recompute_regime(compute_dtype):
         else:
             denom = np.maximum(np.abs(b).max(), 1e-3)
             assert np.abs(a - b).max() / denom < 5e-2
+
+
+def test_loc_conv_weight_grad_conv_branch_matches_einsum_and_autodiff():
+    """The conv_general_dilated branch of _loc_conv_weight_grad only fires
+    at flattened batch >= 16384 — exactly the production training regime —
+    so pin its ConvDimensionNumbers permutation directly against both the
+    einsum branch (same inputs, threshold straddled) and autodiff of
+    _loc_conv."""
+    K, F, S = 5, 3, 12
+    rng = np.random.RandomState(0)
+
+    def run(B):
+        w_prev = jnp.asarray(rng.randn(B, S).astype(np.float32))
+        w_cum = jnp.asarray(rng.randn(B, S).astype(np.float32))
+        dloc = jnp.asarray(rng.randn(B, S, F).astype(np.float32))
+        loc_w = jnp.asarray(rng.randn(K, 2, F).astype(np.float32))
+        got = np.asarray(bptt._loc_conv_weight_grad(w_prev, w_cum, dloc, K))
+        want = np.asarray(jax.grad(
+            lambda w: jnp.sum(bptt._loc_conv(w_prev, w_cum, w) * dloc)
+        )(loc_w))
+        return got, want
+
+    # einsum branch (B < 16384)
+    got_small, want_small = run(64)
+    np.testing.assert_allclose(got_small, want_small, atol=1e-4, rtol=1e-4)
+    # conv branch (B >= 16384): the layout-permutation under test
+    got_big, want_big = run(16384)
+    np.testing.assert_allclose(
+        got_big, want_big,
+        atol=5e-3 * float(np.abs(want_big).max()), rtol=2e-4,
+    )

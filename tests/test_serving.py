@@ -101,6 +101,50 @@ def test_centroid_cache_written(artifacts):
     assert synth.neu.shape == (hp.z_latent_dim,)
 
 
+def test_centroid_cache_invalidated_by_checkpoint_resave(artifacts):
+    """Re-saving the checkpoint IN PLACE (same basename) must change the
+    centroid cache key — stale centroids from the old weights were silently
+    served before the fingerprint key."""
+    import time as _time
+
+    from tacotron2_vae_tpu.serving.synthesizer import _ckpt_fingerprint
+
+    d, hp, ckpt, _, filelist = artifacts
+    fp1 = _ckpt_fingerprint(ckpt)
+    _make_synth(artifacts, with_waveglow=False)
+    n_npz = len([f for f in os.listdir(d) if f.endswith(".npz")])
+    assert fp1 in "".join(os.listdir(d))
+    _time.sleep(0.01)  # ensure mtime_ns advances
+    with open(ckpt, "rb") as f:
+        blob = f.read()
+    with open(ckpt, "wb") as f:
+        f.write(blob)
+    fp2 = _ckpt_fingerprint(ckpt)
+    assert fp2 != fp1
+    _make_synth(artifacts, with_waveglow=False)
+    n_npz2 = len([f for f in os.listdir(d) if f.endswith(".npz")])
+    assert n_npz2 == n_npz + 1, "re-save must produce a fresh centroid cache"
+
+
+def test_centroid_precompute_skips_sub_pad_clips(artifacts, tmp_path):
+    """One sub-pad-length clip in the manifest must not abort the bulk
+    centroid featurization (it is skipped like an unreadable file)."""
+    d, hp, ckpt, _, filelist = artifacts
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    short = str(tmp_path / "short.wav")
+    save_wav(short, np.zeros(64, np.float32), 16000)
+    mixed = str(tmp_path / "mixed.txt")
+    with open(filelist, encoding="utf-8") as f:
+        body = f.read()
+    with open(mixed, "w", encoding="utf-8") as f:
+        f.write(body + f"{short}|짧은|0|0\n")
+    synth = Synthesizer(hp)
+    with pytest.warns(UserWarning, match="skipped 1/5"):
+        synth.load(ckpt, None, centroid_filelist=mixed)
+    assert synth.centroids_loaded
+
+
 def test_interpolation_path(artifacts):
     synth = _make_synth(artifacts)
     # The tiny test net collapses all inputs to one latent (2-channel convs
