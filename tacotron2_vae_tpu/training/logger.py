@@ -30,6 +30,20 @@ class Tacotron2Logger:
         if not _HAS_TB:
             raise RuntimeError("tensorboardX is unavailable")
         self.writer = SummaryWriter(logdir)
+        # CSV sidecars (TPU-native addition): the same scalars tensorboardX
+        # gets, but trivially machine-readable — curve regeneration
+        # (tools/curves_run.py) and CI read these instead of event files.
+        import os
+
+        self._train_csv = os.path.join(logdir, "metrics.csv")
+        self._val_csv = os.path.join(logdir, "val_metrics.csv")
+        if not os.path.exists(self._train_csv):
+            with open(self._train_csv, "w") as f:
+                f.write("iteration,loss,grad_norm,learning_rate,duration,"
+                        "kl_div,kl_weight,recon_loss\n")
+        if not os.path.exists(self._val_csv):
+            with open(self._val_csv, "w") as f:
+                f.write("iteration,loss\n")
 
     def log_training(self, reduced_loss, grad_norm, learning_rate, duration,
                      kl_div, kl_weight, recon_loss, iteration):
@@ -41,11 +55,18 @@ class Tacotron2Logger:
         w.add_scalar("kl_div", float(kl_div), iteration)
         w.add_scalar("kl_weight", float(kl_weight), iteration)
         w.add_scalar("recon_loss", float(recon_loss), iteration)
+        with open(self._train_csv, "a") as f:
+            f.write(f"{iteration},{float(reduced_loss):.6f},"
+                    f"{float(grad_norm):.6f},{float(learning_rate):.8f},"
+                    f"{float(duration):.4f},{float(kl_div):.6f},"
+                    f"{float(kl_weight):.6f},{float(recon_loss):.6f}\n")
 
     def log_validation(self, reduced_loss, params, outputs, targets, iteration):
         """outputs: Tacotron2Output; targets: (mel_target, gate_target)."""
         w = self.writer
         w.add_scalar("validation.loss", float(reduced_loss), iteration)
+        with open(self._val_csv, "a") as f:
+            f.write(f"{iteration},{float(reduced_loss):.6f}\n")
 
         # Parameter histograms (logger.py:31-33).
         def walk(tree, path=""):

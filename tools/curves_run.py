@@ -1,0 +1,431 @@
+#!/usr/bin/env python
+"""Reproduce the reference's published training-curve shapes end-to-end.
+
+The reference ships `res/` curves from a ~250k-step run on the Korean
+Emotion Speech corpus (README.md:53-57: recon plateau ~=0.40-0.45,
+kl_div falling to a trough as the logistic anneal ramps then drifting
+back up; emotion-separated latent scatter).  That corpus is not
+available here, so this tool builds a *richer synthetic emotional
+corpus on disk* (512 train + 64 val wavs: per-syllable harmonic chords,
+per-emotion spectral tilt / f0 scale / vibrato — the emotion is ONLY in
+the audio, never in the text, so the VAE latent is the only path to it,
+exactly the reference's design) and drives the REAL training stack
+(`training.train.train`: filelist -> bulk mel cache -> bucketed batches
+-> custom-BPTT mesh step -> orbax checkpoints -> CSV/tensorboard logs)
+for ~16k steps at batch 64 with the reference's logistic KL anneal
+(anneal_x0/anneal_k scaled 250k->16k so the ramp lands at the same
+fraction of the run, hparams.py:72-76).
+
+Stages (run `all` or any subset):
+  corpus   build wavs + filelists under --workdir
+  train    ~16k-step run (one TPU chip, ~20 min)
+  assets   regenerate res/ from the run's CSV logs + final checkpoint
+  samples  refresh samples/generated/ via the 4 inference recipes
+
+Usage: python tools/curves_run.py all [--workdir /tmp/t2v_curves]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SR = 16000
+
+# 16 syllables, each a distinct harmonic chord the decoder must learn to
+# emit in text order (monotonic alignment); emotions recolor the SAME
+# sentence (label order [neu, sad, ang, hap], reference synthesizer.py).
+SYLLS = list("가나다라마바사아자차카타파하고노")
+PARTIAL_AMPS = np.array([1.0, 0.6, 0.45, 0.32, 0.22])
+EMO_TILT = {0: 0.0, 1: -0.55, 2: 0.55, 3: 0.30}     # brightness slope
+EMO_F0 = {0: 1.0, 1: 0.88, 2: 1.12, 3: 1.05}        # register
+EMO_VIBRATO = {0: (0.0, 0.0), 1: (0.0, 0.0),        # (rate Hz, depth)
+               2: (3.0, 0.012), 3: (5.5, 0.022)}
+SYLL_S = 0.12
+TAIL_S = 0.10
+TRAIN_SENTS, VAL_SENTS = 128, 16
+STEPS_TARGET = 16032  # 2004 epochs x 8 steps
+
+
+def _syll_wave(syl_idx: int, emotion: int, t: np.ndarray) -> np.ndarray:
+    f0 = (140.0 + 22.0 * syl_idx) * EMO_F0[emotion]
+    rate, depth = EMO_VIBRATO[emotion]
+    vib = depth * np.sin(2 * np.pi * rate * t) if rate else 0.0
+    phase = 2 * np.pi * f0 * (t + vib * t)
+    out = np.zeros_like(t)
+    for k, amp in enumerate(PARTIAL_AMPS, start=1):
+        a = amp * np.exp(EMO_TILT[emotion] * (k - 1) / 2.0)
+        f = f0 * k
+        if f >= SR / 2 - 200:
+            break
+        out += a * np.sin(k * phase)
+    return out
+
+
+def _sentence_wav(sylls: list[int], emotion: int,
+                  rng: np.random.RandomState) -> np.ndarray:
+    n_syl = int(SYLL_S * SR)
+    fade = int(0.008 * SR)
+    env = np.ones(n_syl)
+    env[:fade] = np.linspace(0, 1, fade)
+    env[-fade:] = np.linspace(1, 0, fade)
+    t = np.arange(n_syl) / SR
+    segs = [_syll_wave(s, emotion, t) * env for s in sylls]
+    wav = np.concatenate(segs + [np.zeros(int(TAIL_S * SR))])
+    peak = np.abs(wav).max()
+    if peak > 0:
+        wav = 0.35 * wav / peak
+    wav = wav + 0.004 * rng.randn(len(wav))
+    return wav.astype(np.float32)
+
+
+def make_corpus(workdir: str) -> tuple[str, str]:
+    """Write train/val wavs + filelists; returns (train_list, val_list)."""
+    from tacotron2_vae_tpu.dsp.audio import save_wav
+
+    cdir = os.path.join(workdir, "corpus")
+    os.makedirs(cdir, exist_ok=True)
+    rng = np.random.RandomState(1234)
+
+    def gen(n_sents, tag, seed):
+        srng = np.random.RandomState(seed)
+        lines = []
+        for i in range(n_sents):
+            n_syl = 8 if i % 2 == 0 else 12
+            sylls = [int(srng.randint(0, len(SYLLS))) for _ in range(n_syl)]
+            text = "".join(SYLLS[s] for s in sylls)
+            for emo in range(4):
+                path = os.path.join(cdir, f"{tag}_{i:03d}_e{emo}.wav")
+                if not os.path.exists(path):
+                    save_wav(path, _sentence_wav(sylls, emo, rng), SR)
+                lines.append(f"{path}|{text}|0|{emo}")
+        flist = os.path.join(workdir, f"{tag}.txt")
+        with open(flist, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+        return flist
+
+    train_list = gen(TRAIN_SENTS, "train", 7)
+    val_list = gen(VAL_SENTS, "val", 8)
+    print(f"corpus: {TRAIN_SENTS * 4} train / {VAL_SENTS * 4} val wavs in {cdir}")
+    return train_list, val_list
+
+
+def _hparams(workdir: str):
+    from tacotron2_vae_tpu.config import create_hparams
+
+    # Logistic anneal scaled 250k -> 16k run: x0 at the same run fraction
+    # (10k/250k -> 640/16k) and k scaled by the inverse (ramp width covers
+    # the same fraction), so kl_weight traces the reference's trajectory.
+    return create_hparams(
+        f"training_files={workdir}/train.txt,"
+        f"validation_files={workdir}/val.txt,"
+        "batch_size=64,epochs=2004,iters_per_checkpoint=4000,"
+        "anneal_function='logistic',anneal_x0=640,anneal_k=0.04,"
+        "anneal_upper=0.2,anneal_lag=3200"
+    )
+
+
+def run_train(workdir: str):
+    from tacotron2_vae_tpu.training.train import train
+
+    hp = _hparams(workdir)
+    out = os.path.join(workdir, "out")
+    ts, it = train(out, "logs", None, False, hp)
+    print(f"training done at iteration {it}")
+    return out
+
+
+def _ema(xs, alpha=0.92):
+    out, m = [], None
+    for x in xs:
+        m = x if m is None else alpha * m + (1 - alpha) * x
+        out.append(m)
+    return out
+
+
+def _read_csv(path):
+    with open(path) as f:
+        header = f.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in f if line.strip()]
+    cols = {h: np.array([float(r[i]) for r in rows])
+            for i, h in enumerate(header)}
+    return cols
+
+
+def _latest_ckpt(out_dir):
+    import glob
+
+    cs = [p for p in glob.glob(os.path.join(out_dir, "checkpoint_*"))
+          if not p.endswith(".npz")]
+    return max(cs, key=lambda p: int(p.rsplit("_", 1)[1]))
+
+
+def run_assets(workdir: str, res_dir: str):
+    import jax
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from tacotron2_vae_tpu.data.dataset import TextMelDataset, collate
+    from tacotron2_vae_tpu.models import tacotron2
+    from tacotron2_vae_tpu.serving.synthesizer import (
+        Synthesizer,
+        _load_any_checkpoint,
+    )
+    from tacotron2_vae_tpu.utils.plotting import (
+        plot_alignment_to_numpy,
+        plot_gate_outputs_to_numpy,
+        plot_scatter,
+        plot_spectrogram_to_numpy,
+        plot_tsne,
+    )
+
+    hp = _hparams(workdir)
+    out_dir = os.path.join(workdir, "out")
+    logdir = os.path.join(out_dir, "logs")
+    tr = _read_csv(os.path.join(logdir, "metrics.csv"))
+    va = _read_csv(os.path.join(logdir, "val_metrics.csv"))
+    os.makedirs(res_dir, exist_ok=True)
+
+    def curve(name, xs, ys, title, ylabel, smooth=True):
+        fig, ax = plt.subplots(figsize=(9, 3.6))
+        ax.plot(xs, ys, lw=0.7, alpha=0.35, color="#ff6f4f")
+        if smooth and len(ys) > 10:
+            ax.plot(xs, _ema(ys), lw=1.4, color="#e8552e")
+        ax.set_xlabel("step")
+        ax.set_ylabel(ylabel)
+        ax.set_title(title)
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        p = os.path.join(res_dir, name)
+        fig.savefig(p, dpi=110)
+        plt.close(fig)
+        print("wrote", p)
+
+    it = tr["iteration"]
+    curve("trainingloss.png", it, tr["loss"],
+          "training.loss — 16k-step run, synthetic emotional corpus, B=64",
+          "total loss")
+    curve("reconloss.png", it, tr["recon_loss"],
+          "recon_loss (mel MSE x2 + gate BCE)", "recon loss")
+    curve("kldiv.png", it, tr["kl_div"],
+          "kl_div (summed KL; logistic anneal x0=640)", "KL")
+    curve("klweight.png", it, tr["kl_weight"],
+          "kl_weight (logistic schedule, reference hparams.py:72-76 scaled)",
+          "kl weight", smooth=False)
+    curve("validloss.png", va["iteration"], va["loss"],
+          "validation.loss (averaged over val set)", "val loss",
+          smooth=False)
+
+    # ---- eval-mode forward on a real val batch ----
+    ckpt = _latest_ckpt(out_dir)
+    params, model_state = _load_any_checkpoint(ckpt, hp)
+    ds = TextMelDataset(os.path.join(workdir, "val.txt"), hp, shuffle=False)
+    ds.warm_mel_cache()
+    items = [ds[i] for i in range(16)]
+    b = collate(items, hp.n_frames_per_step, hp.text_bucket_size,
+                hp.mel_bucket_size)
+    batch = {k: jax.numpy.asarray(v) for k, v in b.asdict().items()}
+
+    @jax.jit
+    def fwd(params, model_state, batch, rng):
+        out, _ = tacotron2.forward(
+            params, model_state, batch, hp, train=False, rng=rng
+        )
+        return out
+
+    out = fwd(params, model_state, batch, jax.random.PRNGKey(1))
+    T0 = int(b.output_lengths[0])
+    S0 = int(b.input_lengths[0])
+
+    def save_img(img, name):
+        plt.imsave(os.path.join(res_dir, name), img)
+        print("wrote", os.path.join(res_dir, name))
+
+    save_img(plot_alignment_to_numpy(
+        np.asarray(out.alignments[0])[:T0, :S0].T), "alignment.png")
+    save_img(plot_spectrogram_to_numpy(
+        np.asarray(out.mel_outputs_postnet[0])[:, :T0]), "mel_predicted.png")
+    save_img(plot_spectrogram_to_numpy(
+        np.asarray(batch["mel"][0])[:, :T0]), "mel_target.png")
+    save_img(plot_gate_outputs_to_numpy(
+        np.asarray(batch["gate"][0]),
+        1.0 / (1.0 + np.exp(-np.asarray(out.gate_outputs[0]))),
+    ), "gate.png")
+
+    # ---- latent scatter / t-SNE over the whole corpus (bucketed batched
+    # embedding via the serving path — one compile per bucket, not per clip)
+    synth = Synthesizer(hp)
+    synth.load(ckpt, None, centroid_filelist=os.path.join(workdir, "val.txt"))
+    tds = TextMelDataset(os.path.join(workdir, "train.txt"), hp, shuffle=False)
+    tds.warm_mel_cache()
+    mels = [np.load(tds.mel_cache_path(e[0])) for e in tds.entries]
+    labels = np.array([int(e[3]) for e in tds.entries])
+    zs = np.stack(synth._embed_mels([np.asarray(m) for m in mels]))
+    mus = zs  # serving embeds the mean path in eval mode
+    save_img(plot_scatter(mus, labels), "scatter.png")
+    save_img(plot_tsne(zs, labels), "tsne.png")
+
+    kl = tr["kl_div"]
+    n = len(kl)
+    trough_i = int(np.argmin(_ema(kl)[: n // 2]))
+    summary = {
+        "steps": int(it[-1]) + 1,
+        "batch": 64,
+        "anneal": "logistic x0=640 k=0.04 (reference x0=10000 k=0.0025 scaled 250k->16k)",
+        "final_train_loss_ema": round(float(_ema(tr["loss"])[-1]), 4),
+        "final_recon_loss_ema": round(float(_ema(tr["recon_loss"])[-1]), 4),
+        "final_val_loss": round(float(va["loss"][-1]), 4),
+        "kl_trough_step": int(it[trough_i]),
+        "kl_trough_ema": round(float(_ema(kl)[trough_i]), 2),
+        "kl_final_ema": round(float(_ema(kl)[-1]), 2),
+        "checkpoint": os.path.basename(ckpt),
+        "corpus": f"{TRAIN_SENTS * 4} train / {VAL_SENTS * 4} val wavs, "
+                  "4 emotions (audio-only signal)",
+    }
+    with open(os.path.join(res_dir, "README.md"), "w") as f:
+        f.write(RES_README.format(json.dumps(summary, indent=2)))
+    print(json.dumps(summary))
+    return summary
+
+
+RES_README = """# res/ — result images from this framework
+
+Counterpart of the reference's `res/` (its images come from a ~250k-step
+run on the Korean Emotion Speech dataset, which is not available in this
+environment).  These were generated by `tools/curves_run.py` from a REAL
+~16k-step `train()` run at full model size and batch 64 on a 512-utterance
+synthetic emotional corpus (per-syllable harmonic chords; emotion exists
+ONLY in the audio — spectral tilt, register, vibrato — so the VAE latent
+is the model's only path to it, matching the reference's design where
+emotion labels never enter the forward pass):
+
+```json
+{}
+```
+
+Image-by-image mapping to the reference (matching qualitative behavior):
+
+- `trainingloss.png` <- ref `res/trainingloss.png`: steep fall then a noisy
+  plateau (ref plateaus ~=0.40-0.45 at 250k on real speech).
+- `reconloss.png`: the recon component alone, same plateau shape.
+- `kldiv.png` <- ref `res/kldiv.png`: KL falls to a trough as the logistic
+  kl_weight ramps (ref trough ~=20-40k of 250k; here the anneal is scaled
+  250k->16k so the trough lands at the same run fraction), then drifts
+  back up and plateaus noisily while recon keeps exploiting the latent.
+- `klweight.png`: the scaled logistic schedule itself.
+- `validloss.png` <- the reference's validation.loss scalar (this framework
+  logs the *averaged* val loss; the reference logs the last batch's —
+  SURVEY §3.5 bug note).
+- `alignment.png` <- ref `res/alignment.png`: eval-mode attention, diagonal
+  = learned monotonic text->mel alignment.
+- `mel_target.png` / `mel_predicted.png`, `gate.png`: teacher-forced eval
+  reconstruction and gate trace on a held-out val batch.
+- `scatter.png` <- ref `res/scatter.png`: VAE latent colored by emotion
+  label over the full train corpus — separated clusters show the prosody
+  encoder isolated the audio-only emotion signal.
+- `tsne.png` <- ref `res/tsne.png`: t-SNE of z, same coloring.
+
+Regenerate with real data by pointing `tools/curves_run.py`'s filelists at
+a koemo-format corpus and re-running `train`/`assets`.
+"""
+
+
+def run_samples(workdir: str, out_dir: str):
+    """Refresh samples/generated from the curve-run checkpoint (all four
+    reference inference recipes through the serving layer)."""
+    import subprocess
+
+    ckpt = _latest_ckpt(os.path.join(workdir, "out"))
+    val_list = os.path.join(workdir, "val.txt")
+    os.makedirs(out_dir, exist_ok=True)
+    demo = os.path.join(REPO, "tools", "inference_demo.py")
+    text = "가나다라마바사아"
+
+    def run(args):
+        print("+", " ".join(args))
+        subprocess.run([sys.executable, demo] + args, check=True)
+
+    run(["latents", "--checkpoint", ckpt, "--filelist", val_list,
+         "-o", out_dir])
+    ref_wav = [line.split("|")[0] for line in open(val_list, encoding="utf-8")][1]
+    run(["ref", "--checkpoint", ckpt, "--filelist", val_list,
+         "--text", text, "--ref_audio", ref_wav, "-o", out_dir])
+    run(["interp", "--checkpoint", ckpt, "--filelist", val_list,
+         "--text", text, "--from", "sad", "--to", "hap", "-o", out_dir])
+    run(["mix", "--checkpoint", ckpt, "--filelist", val_list,
+         "--text", text, "--ratios", "0.25,0.25,0.25,0.25", "-o", out_dir])
+    with open(os.path.join(out_dir, "README.md"), "w") as f:
+        f.write(SAMPLES_README)
+    print("samples refreshed in", out_dir)
+
+
+SAMPLES_README = """# samples/generated/ — outputs of THIS framework
+
+Unlike the sibling directories (reference-model data assets), everything
+here was produced end-to-end by this framework on one TPU chip:
+
+1. `tools/curves_run.py corpus` generated a 512-utterance synthetic
+   emotional corpus (16-syllable harmonic inventory; emotion = audio-only
+   spectral tilt / register / vibrato, never visible in the text);
+2. `tools/curves_run.py train` ran the real training CLI path
+   (filelist -> bulk mel cache -> bucketed batches -> custom-BPTT train
+   step -> orbax checkpoints) for ~16k steps at batch 64 with the
+   reference's logistic KL anneal scaled to the run length;
+3. `tools/inference_demo.py` ran all four reference inference recipes
+   against the final checkpoint with centroids precomputed from the val
+   manifest:
+   - `latents.npz`, `scatter.png`, `tsne.png` — latent extraction recipe
+   - `ref_conditioned.wav` — reference-audio style conditioning
+   - `interp_sad*_hap*.wav` — centroid interpolation ladder
+     (ratios [1.0, 0.64, 0.34, 0.0])
+   - `mix.wav` — equal-ratio emotion mixing
+
+The audio is vocoded with Griffin-Lim (no pretrained WaveGlow checkpoint
+is available in this environment) from a model trained on synthetic
+harmonic "speech" — it demonstrates the full pipeline mechanically, with
+real emotion-conditional curve/latent behavior (see res/README.md), not
+human speech quality.  With the real Korean Emotion Speech dataset and a
+trained/converted WaveGlow, the same commands produce the reference's
+demo outputs.
+"""
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("stages", nargs="+",
+                   choices=["corpus", "train", "assets", "samples", "all"])
+    p.add_argument("--workdir", default="/tmp/t2v_curves")
+    p.add_argument("--res", default=os.path.join(REPO, "res"))
+    p.add_argument("--samples", default=os.path.join(
+        REPO, "samples", "generated"))
+    args = p.parse_args()
+    stages = set(args.stages)
+    if "all" in stages:
+        stages = {"corpus", "train", "assets", "samples"}
+    os.makedirs(args.workdir, exist_ok=True)
+    if "corpus" in stages:
+        make_corpus(args.workdir)
+    if "train" in stages:
+        run_train(args.workdir)
+    if "assets" in stages:
+        run_assets(args.workdir, args.res)
+    if "samples" in stages:
+        run_samples(args.workdir, args.samples)
+
+
+if __name__ == "__main__":
+    main()
