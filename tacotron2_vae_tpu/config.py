@@ -166,6 +166,9 @@ class HParams:
     # Batch-assembly thread-pool width (torch DataLoader num_workers analog,
     # reference train.py:61; np.load + native collate release the GIL).
     num_workers: int = 4
+    # Pad every batch to the dataset-wide maxima (single compiled shape)
+    # even in single-host runs; multi-host runs always do this.
+    fixed_batch_shapes: bool = False
     symbol_type: int = 1  # Korean jamo symbol inventory variant (1..4)
     # Hand-written BPTT for the decoder scan (models/decoder_bptt.py):
     # ~1.3x faster training than autodiff, gradient-identical (tests/test_bptt).

@@ -121,16 +121,18 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 
-def opt_state_shardings(opt_state, params, mesh: Mesh):
+def opt_state_shardings(opt_state, params, mesh: Mesh, p_shard=None):
     """Sharding pytree for the optimizer state, matched STRUCTURALLY.
 
     Any opt-state subtree whose pytree structure equals the params tree
     (optax's Adam mu/nu mirror it exactly) gets the params' shardings;
     every other leaf (step counts, empty states) is replicated.  Structural
     matching cannot be fooled by two different params sharing a shape —
-    the hazard of shape-based matching.
+    the hazard of shape-based matching.  ``p_shard`` overrides the params
+    sharding tree (e.g. WaveGlow rules); defaults to the Tacotron2 rules.
     """
-    p_shard = param_shardings(params, mesh)
+    if p_shard is None:
+        p_shard = param_shardings(params, mesh)
     p_def = jax.tree_util.tree_structure(params)
     rep = NamedSharding(mesh, _REPLICATED)
 
@@ -163,6 +165,68 @@ def shard_train_state(ts, mesh: Mesh):
         if ts.scaler is not None else None
     )
     return TrainState(step, params, model_state, opt_state, scaler)
+
+
+# --- WaveGlow (vocoder) sharding -------------------------------------------------
+#
+# The reference never trains its vocoder (it loads a pickled pretrained
+# snapshot, synthesizer.py:79-80); this framework trains it, and on a mesh.
+# dp shards the batch; tp uses the Megatron conv pattern on the WN stack —
+# column-parallel where a layer WRITES the hidden channels, row-parallel
+# (contraction-sharded) where it READS them, so GSPMD's only collective is
+# one psum per res_skip/end matmul.
+
+
+def _waveglow_spec(path: str, leaf) -> P:
+    if leaf.ndim < 2:
+        return _REPLICATED
+    if "/upsample" in path:
+        return P(None, None, "model")   # (k, 80, 80): shard out channels
+    if "/wn/start" in path or "/wn/cond" in path or "/wn/in" in path:
+        return P(None, None, "model")   # writes hidden: column-parallel
+    if "/wn/res_skip" in path or "/wn/end" in path:
+        return P(None, "model", None)   # reads hidden: row-parallel
+    return _REPLICATED  # inv_conv 1x1 mixing (<= 8x8) and biases
+
+
+def waveglow_param_shardings(params, mesh: Mesh):
+    def build(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: build(v, path + "/" + k) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [build(v, f"{path}[{i}]") for i, v in enumerate(tree)]
+        return NamedSharding(mesh, _waveglow_spec(path, tree))
+
+    return build(params)
+
+
+def shard_waveglow_state(params, opt_state, mesh: Mesh):
+    """Place WaveGlow params (+ structurally matched Adam moments)."""
+    p_shard = waveglow_param_shardings(params, mesh)
+    params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+    opt_state = jax.tree_util.tree_map(
+        jax.device_put, opt_state,
+        opt_state_shardings(opt_state, params, mesh, p_shard=p_shard),
+    )
+    return params, opt_state
+
+
+def make_waveglow_parallel_train_step(cfg, optimizer, mesh: Mesh,
+                                      sigma: float = 1.0):
+    """jit'd mesh train step for the vocoder: (opt_state, params, audio,
+    mel) -> (opt_state, params, loss), batch split over 'data', WN stack
+    over 'model'."""
+    from ..models import waveglow as wg
+
+    step_fn = wg.make_waveglow_train_step(cfg, optimizer, sigma)
+    data = NamedSharding(mesh, P("data"))
+
+    def wrapped(opt_state, params, audio, mel):
+        audio = jax.lax.with_sharding_constraint(audio, data)
+        mel = jax.lax.with_sharding_constraint(mel, data)
+        return step_fn(opt_state, params, audio, mel)
+
+    return jax.jit(wrapped, donate_argnums=(0, 1))
 
 
 def make_parallel_train_step(hp, mesh: Mesh, learning_rate=None):

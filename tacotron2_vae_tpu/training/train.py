@@ -42,7 +42,7 @@ def prepare_dataloaders(hp, shard=(0, 1)):
     trainset = TextMelDataset(hp.training_files, hp)
     valset = TextMelDataset(hp.validation_files, hp, shuffle=False)
     fixed = None
-    if world > 1:
+    if world > 1 or getattr(hp, "fixed_batch_shapes", False):
         # All hosts must emit identical batch shapes for the same global
         # step: pad to the dataset-wide maxima (rounded to the buckets).
         import math
@@ -87,17 +87,33 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
     maybe_init_distributed()
 
     # Data axis must divide the batch; use as many devices as cleanly fit.
+    # Multi-host: the device list must take the SAME number of devices from
+    # every process (taking jax.devices()[:n] would select only process 0's
+    # and make_array_from_process_local_data has nowhere to put the other
+    # hosts' rows), so size the data axis per host and interleave.
     import math
 
-    n_dev = len(jax.devices())
+    world = jax.process_count()
     model = max(1, hp.mesh_model)
-    avail = max(1, n_dev // model)
-    data = hp.mesh_data if hp.mesh_data not in (-1, None) else math.gcd(
-        hp.batch_size, avail
-    )
-    mesh = make_mesh(
-        devices=jax.devices()[: data * model], data=data, model=model
-    )
+    local_avail = max(1, len(jax.local_devices()) // model)
+    if hp.mesh_data not in (-1, None):
+        data = hp.mesh_data
+    else:
+        data = world * math.gcd(hp.batch_size // world, local_avail)
+    n_needed = data * model
+    if world == 1:
+        devices = jax.devices()[:n_needed]
+    else:
+        if n_needed % world != 0:
+            raise ValueError(
+                f"mesh size {n_needed} not divisible by process count {world}"
+            )
+        per = n_needed // world
+        by_proc: dict[int, list] = {}
+        for d in jax.devices():
+            by_proc.setdefault(d.process_index, []).append(d)
+        devices = [d for p in sorted(by_proc) for d in by_proc[p][:per]]
+    mesh = make_mesh(devices=devices, data=data, model=model)
     rng = jax.random.PRNGKey(hp.seed)
     rng, init_rng = jax.random.split(rng)
 
@@ -125,7 +141,8 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
     epoch_offset = max(0, iteration // max(len(train_loader), 1))
 
     logger = None
-    if log_directory:
+    # Only host 0 logs (reference train.py:71-77 gates the logger on rank 0).
+    if log_directory and jax.process_index() == 0:
         from .logger import Tacotron2Logger
 
         logger = Tacotron2Logger(os.path.join(output_directory, log_directory))

@@ -105,3 +105,49 @@ def test_waveglow_loss_and_training_descends(params):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.1, losses[::10]
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_waveglow_mesh_training_parity(params, mesh_shape):
+    """dp and dp+tp mesh train steps must match the single-device step:
+    same loss trace and same updated params after 2 steps (the reference
+    never trains its vocoder at all; this framework trains it on a mesh)."""
+    import optax
+
+    from tacotron2_vae_tpu.parallel import (
+        make_mesh,
+        make_waveglow_parallel_train_step,
+        shard_waveglow_state,
+    )
+
+    data, model = mesh_shape
+    opt = optax.adam(1e-4)
+    rng = np.random.RandomState(0)
+    B, n_mel_frames = 8, 9
+    samples = n_mel_frames * 256
+    audio = jnp.asarray(rng.randn(B, samples).astype(np.float32) * 0.1)
+    mel = jnp.asarray(rng.randn(B, 80, n_mel_frames).astype(np.float32))
+
+    # single-device trajectory
+    step1 = jax.jit(wg.make_waveglow_train_step(CFG, opt, 1.0))
+    p1, o1 = params, opt.init(params)
+    for _ in range(2):
+        o1, p1, l1 = step1(o1, p1, audio, mel)
+
+    # mesh trajectory (donated args: re-init fresh trees)
+    mesh = make_mesh(devices=jax.devices()[: data * model],
+                     data=data, model=model)
+    pm, om = shard_waveglow_state(
+        wg.init(jax.random.PRNGKey(0), CFG), opt.init(params), mesh
+    )
+    step_m = make_waveglow_parallel_train_step(CFG, opt, mesh, 1.0)
+    for _ in range(2):
+        om, pm, lm = step_m(om, pm, audio, mel)
+
+    np.testing.assert_allclose(float(l1), float(lm), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flatm = jax.tree_util.tree_leaves(pm)
+    assert len(flat1) == len(flatm)
+    for a, b in zip(flat1, flatm):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-6, rtol=2e-5)

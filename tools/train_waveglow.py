@@ -118,6 +118,9 @@ def main():
     p.add_argument("--n_flows", type=int, default=12)
     p.add_argument("--n_channels", type=int, default=256)
     p.add_argument("--n_layers", type=int, default=8)
+    p.add_argument("--mesh", default=None, metavar="DATA,MODEL",
+                   help="train on a (data, model) device mesh, e.g. 8,1 "
+                        "for pure dp or 4,2 for dp+tp over the WN stack")
     args = p.parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -151,7 +154,25 @@ def main():
         print(json.dumps({"final_loss": None, "steps": start_step,
                           "note": "resume step >= --steps; nothing to do"}))
         return
-    step_fn = jax.jit(wg.make_waveglow_train_step(cfg, opt, args.sigma))
+    if args.mesh:
+        from tacotron2_vae_tpu.parallel import (
+            make_mesh,
+            make_waveglow_parallel_train_step,
+            shard_waveglow_state,
+        )
+
+        data, model = (int(x) for x in args.mesh.split(","))
+        if args.batch % data != 0:
+            raise SystemExit(f"--batch {args.batch} not divisible by "
+                             f"data axis {data}")
+        mesh = make_mesh(devices=jax.devices()[: data * model],
+                         data=data, model=model)
+        params, opt_state = shard_waveglow_state(params, opt_state, mesh)
+        step_fn = make_waveglow_parallel_train_step(cfg, opt, mesh,
+                                                    args.sigma)
+        print(f"mesh: data={data} model={model}")
+    else:
+        step_fn = jax.jit(wg.make_waveglow_train_step(cfg, opt, args.sigma))
 
     # advance the segment RNG past the segments earlier steps consumed so a
     # resumed run continues the stream instead of replaying it
