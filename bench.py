@@ -132,6 +132,78 @@ def main():
         if peak:
             mfu_b64 = flops_per_step / dt64 / peak
 
+    # --- Device capability probes (chained in ONE jit so the remote
+    # tunnel's per-dispatch latency cannot pollute them — a single
+    # dispatched 4096^3 matmul used to read "25 TFLOP/s", which was
+    # dispatch overhead, not the chip) + the scan's streaming roofline.
+    matmul_tflops = hbm_gbps = None
+    mfu_envelope = scan_roofline_ms = scan_stream_gb = None
+    try:
+        K = 32
+        w = jax.numpy.asarray(
+            (rng.randn(4096, 4096) * 0.01).astype(np.float32)
+        ).astype(jax.numpy.bfloat16)
+
+        @jax.jit
+        def matmul_chain(x, w):
+            def body(x, _):
+                x = jax.numpy.dot(x, w)
+                # renormalize to dodge inf/nan without leaving the MXU path
+                return x * (1.0 / 64.0), None
+            x, _ = jax.lax.scan(body, x, None, length=K)
+            return x[0, 0].astype(jax.numpy.float32)
+
+        x0 = w
+        float(matmul_chain(x0, w))  # compile + warm
+        t0 = time.perf_counter()
+        s = float(matmul_chain(x0, w))
+        dt_mm = time.perf_counter() - t0
+        matmul_tflops = K * 2 * 4096**3 / dt_mm / 1e12
+
+        NBYTES = 1 << 29  # 512 MB array
+        big = jax.numpy.zeros(NBYTES // 4, jax.numpy.float32)
+
+        @jax.jit
+        def stream_chain(x):
+            def body(x, _):
+                return x * 1.0000001 + 1e-9, None
+            x, _ = jax.lax.scan(body, x, None, length=8)
+            return x[0]
+
+        float(stream_chain(big))
+        t0 = time.perf_counter()
+        float(stream_chain(big))
+        dt_hbm = time.perf_counter() - t0
+        hbm_gbps = 8 * 2 * NBYTES / dt_hbm / 1e9
+
+        if flops_per_step and matmul_tflops:
+            mfu_envelope = flops_per_step / dt64 / (matmul_tflops * 1e12)
+
+        # Weight-streaming roofline for the sequential decoder scan at
+        # B=64/T=512/S=128 (see DESIGN.md "MFU lenses"): per step the scan
+        # re-reads the fused LSTM weights (bf16) and the encoder memory /
+        # processed-memory activations; the custom BPTT backward recomputes
+        # the forward and streams the same weights (transposed) plus the
+        # in-scan dW accumulators => ~3x the forward traffic.
+        H, E, P, A = (hp.attention_rnn_dim, hp.encoder_embedding_dim,
+                      hp.prenet_dim, hp.attention_dim)
+        F = hp.attention_location_n_filters
+        bf2 = 2  # bf16 bytes
+        w_bytes = (
+            (P + E + H) * 4 * H + (H + E + H) * 4 * H  # fused LSTMs
+            + H * A + 31 * 2 * F + F * A + E * A       # query/loc/memory
+        ) * bf2
+        act_bytes = (B2 * S * E + B2 * S * A) * bf2    # memory + processed
+        per_step = w_bytes + act_bytes
+        steps = T // hp.n_frames_per_step
+        scan_stream_gb = 3 * per_step * steps / 1e9
+        if hbm_gbps:
+            scan_roofline_ms = scan_stream_gb / hbm_gbps * 1e3
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+
     # Capability extension: n_frames_per_step=2 (r>1 is unsupported in the
     # reference, hparams.py:87) halves the sequential scan length — the
     # dominant step cost — for a large opt-in throughput win.
@@ -251,6 +323,85 @@ def main():
         except Exception:
             rtf = rtf_xla
 
+    # r=2 serving: half the sequential decode steps for the same audio
+    # (r>1 is unsupported in the reference, hparams.py:87).  600 decoder
+    # steps at r=2 = 1200 frames = 19.2 s of audio.  Measures both the XLA
+    # while_loop path and the fused Pallas kernel (r-generic since round 3).
+    rtf_r2 = rtf_r2_xla = None
+    if time.perf_counter() - t_start < budget:
+        try:
+            hp_r2 = create_hparams("n_frames_per_step=2")
+            from tacotron2_vae_tpu.models import tacotron2 as t2
+
+            params2, state2 = t2.init(jax.random.PRNGKey(0), hp_r2)
+            audio_secs_r2 = 600 * 2 * hp.hop_length / hp.sampling_rate
+
+            def time_synth_r2(use_pallas):
+                def synth_r2(params, state, text, style, rng):
+                    return t2.infer(
+                        params, state, text, style, hp_r2, rng=rng,
+                        max_steps=600, gate_threshold=1.1,
+                        prenet_dropout_enabled=True, use_pallas=use_pallas,
+                    )
+
+                synth_j = jax.jit(synth_r2)
+                out2 = synth_j(params2, state2, text, style,
+                               jax.random.PRNGKey(0))
+                float(out2[4][0])
+                t0 = time.perf_counter()
+                for i in range(3):
+                    out2 = synth_j(params2, state2, text, style,
+                                   jax.random.PRNGKey(i))
+                    float(out2[4][0])
+                return (time.perf_counter() - t0) / 3 / audio_secs_r2
+
+            rtf_r2_xla = time_synth_r2(False)
+            rtf_r2 = rtf_r2_xla
+            if time.perf_counter() - t_start < budget:
+                try:
+                    rtf_r2 = min(rtf_r2, time_synth_r2(True))
+                except Exception:
+                    pass
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+
+    # WaveGlow vocoder TRAINING throughput (the reference never trains its
+    # vocoder; full NVIDIA-size config: 12 flows x 8 layers x 256 ch).
+    wg_samples_per_sec = None
+    if time.perf_counter() - t_start < budget:
+        try:
+            import optax
+
+            from tacotron2_vae_tpu.models import waveglow as wgm
+
+            wg_cfg = wgm.WaveGlowConfig()
+            wg_params = wgm.init(jax.random.PRNGKey(0), wg_cfg)
+            wg_opt = optax.chain(optax.clip_by_global_norm(1.0),
+                                 optax.adam(1e-4))
+            wg_os = wg_opt.init(wg_params)
+            wg_step = jax.jit(wgm.make_waveglow_train_step(wg_cfg, wg_opt))
+            BW, SEG = 8, 16000
+            frames = SEG // 256 + 1
+            wg_audio = jax.numpy.asarray(
+                (rng.randn(BW, SEG) * 0.1).astype(np.float32))
+            wg_mel = jax.numpy.asarray(
+                (rng.randn(BW, 80, frames) * 0.3).astype(np.float32))
+            wg_os, wg_params, wl = wg_step(wg_os, wg_params, wg_audio, wg_mel)
+            float(wl)
+            t0 = time.perf_counter()
+            for _ in range(5):
+                wg_os, wg_params, wl = wg_step(wg_os, wg_params, wg_audio,
+                                               wg_mel)
+            float(wl)
+            wg_samples_per_sec = BW * SEG / ((time.perf_counter() - t0) / 5)
+            del wg_params, wg_os, wg_audio, wg_mel
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+
     print(
         json.dumps(
             {
@@ -265,6 +416,16 @@ def main():
                 "train_step_ms_batch64": round(dt64 * 1e3, 2),
                 "flops_per_step_batch64": flops_per_step,
                 "mfu_batch64": round(mfu_b64, 4) if mfu_b64 else None,
+                "mfu_envelope_batch64": (
+                    round(mfu_envelope, 4) if mfu_envelope else None),
+                "matmul_tflops_measured": (
+                    round(matmul_tflops, 1) if matmul_tflops else None),
+                "hbm_gbps_measured": (
+                    round(hbm_gbps, 1) if hbm_gbps else None),
+                "scan_stream_gb_batch64": (
+                    round(scan_stream_gb, 2) if scan_stream_gb else None),
+                "scan_roofline_ms_batch64": (
+                    round(scan_roofline_ms, 1) if scan_roofline_ms else None),
                 "frames_per_sec_batch64_r2": (
                     round(frames_per_sec_b64_r2, 1)
                     if frames_per_sec_b64_r2 else None),
@@ -274,6 +435,12 @@ def main():
                     round(input_warm_fps, 1) if input_warm_fps else None),
                 "inference_rtf_600_frames": round(rtf, 4),
                 "inference_rtf_xla_while_loop": round(rtf_xla, 4),
+                "inference_rtf_r2": round(rtf_r2, 4) if rtf_r2 else None,
+                "inference_rtf_r2_xla": (
+                    round(rtf_r2_xla, 4) if rtf_r2_xla else None),
+                "waveglow_train_samples_per_sec": (
+                    round(wg_samples_per_sec, 1)
+                    if wg_samples_per_sec else None),
                 "device": str(jax.devices()[0]),
             }
         )

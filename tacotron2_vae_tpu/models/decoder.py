@@ -264,8 +264,7 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
     gate_threshold = gate_threshold or hp.gate_threshold
 
     if use_pallas is None:
-        use_pallas = B == 1 and r == 1 and jax.default_backend() == "tpu"
-    use_pallas = use_pallas and r == 1  # fused serving kernel is r=1-only
+        use_pallas = B == 1 and jax.default_backend() == "tpu"
     if use_pallas and B == 1:
         from ..ops.pallas import decoder_loop as _dl
 
@@ -279,7 +278,7 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
             kw, memory, pmem, mask,
             max_steps=max_steps, gate_threshold=float(gate_threshold),
             seed=seed, dropout_on=prenet_dropout_enabled,
-            dtype_name=jnp.dtype(dtype or jnp.float32).name,
+            dtype_name=jnp.dtype(dtype or jnp.float32).name, r=r,
         )
 
     processed_memory = linear(params["attention"]["memory"], memory, dtype=dtype)

@@ -270,7 +270,8 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_steps", "interpret", "dtype_name", "dropout_on"),
+    static_argnames=("max_steps", "interpret", "dtype_name", "dropout_on",
+                     "r"),
 )
 def decode_loop(
     kernel_weights,
@@ -284,11 +285,18 @@ def decode_loop(
     dropout_on: bool = True,
     interpret: bool = False,
     dtype_name: str = "bfloat16",
+    r: int = 1,
 ):
-    """Run the fused decode loop. Returns (mel (1, n_mel, T), gate (1, T),
-    align (1, T, S), lengths (1,))."""
+    """Run the fused decode loop. Returns (mel (1, n_mel, max_steps*r),
+    gate (1, max_steps), align (1, max_steps, S), lengths (1,) in FRAMES) —
+    the decoder.infer contract.  With ``n_frames_per_step = r > 1`` each
+    kernel step emits r frames through the widened projection (the kernel
+    body is r-agnostic: every dimension is read off the weight shapes) and
+    the mel rows are ungrouped here, outside the kernel (Mosaic has no
+    general reshape)."""
     dtype = jnp.dtype(dtype_name)
     S = memory.shape[1]
+    # proj emits r*n_mel lanes per step; the kernel treats that as one row
     n_mel = kernel_weights["proj_w"].shape[1]
 
     mem = memory[0].astype(dtype)
@@ -348,10 +356,17 @@ def decode_loop(
     valid = jnp.arange(max_steps) < steps[0]
     any_fired = jnp.any(fired & valid)
     first_fire = jnp.argmax(fired & valid)
-    lengths = jnp.where(any_fired, first_fire + 1, steps[0])[None]
+    lengths = jnp.where(any_fired, first_fire + 1, steps[0])[None] * r
+
+    if r > 1:
+        from ...models.decoder import ungroup_mel
+
+        mel_out = ungroup_mel(mel[:, None, :], n_mel // r, r)  # (1, nm, T*r)
+    else:
+        mel_out = mel.T[None]    # (1, n_mel, max_steps)
 
     return (
-        mel.T[None],             # (1, n_mel, max_steps)
+        mel_out,                 # (1, n_mel, max_steps*r)
         gate_vec[None],          # (1, max_steps)
         align[None],             # (1, max_steps, S)
         lengths,

@@ -90,3 +90,33 @@ def test_prepared_weights_shapes(setup):
         hp.decoder_rnn_dim + hp.encoder_embedding_dim, hp.n_mel_channels + 1
     )
     assert kw["loc_patch_w"].shape == (62, hp.attention_location_n_filters)
+
+
+def test_kernel_matches_xla_path_r2():
+    """r=2: each kernel step emits 2 frames through the widened projection;
+    outputs must match the XLA while_loop path frame-for-frame."""
+    hp = create_hparams(TINY + ",n_frames_per_step=2")
+    params = dec.init(jax.random.PRNGKey(0), hp)
+    rng = np.random.RandomState(0)
+    S = 16
+    memory = jnp.asarray(
+        rng.randn(1, S, hp.encoder_embedding_dim).astype(np.float32) * 0.3
+    )
+    pmem = linear(params["attention"]["memory"], memory)
+    mel_x, gate_x, align_x, len_x = dec.infer(
+        params, memory, hp, rng=jax.random.PRNGKey(0), max_steps=12,
+        gate_threshold=1.1, dtype=None, prenet_dropout_enabled=False,
+        use_pallas=False,
+    )
+    kw = dl.prepare_weights(params, dtype=jnp.float32)
+    assert kw["proj_gate_w"].shape[-1] == 2 * hp.n_mel_channels + 1
+    mel_p, gate_p, align_p, len_p = dl.decode_loop(
+        kw, memory, pmem, None, max_steps=12, gate_threshold=1.1,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32", r=2,
+    )
+    assert mel_p.shape == (1, hp.n_mel_channels, 24)
+    assert int(len_p[0]) == int(len_x[0])  # frames (multiple of r)
+    np.testing.assert_allclose(np.asarray(mel_p), np.asarray(mel_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gate_p), np.asarray(gate_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(align_p), np.asarray(align_x),
+                               atol=1e-5)

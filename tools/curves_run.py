@@ -131,7 +131,7 @@ def _hparams(workdir: str):
     return create_hparams(
         f"training_files={workdir}/train.txt,"
         f"validation_files={workdir}/val.txt,"
-        "batch_size=64,epochs=2004,iters_per_checkpoint=4000,"
+        "batch_size=64,epochs=2004,iters_per_checkpoint=2000,"
         "anneal_function='logistic',anneal_x0=640,anneal_k=0.04,"
         "anneal_upper=0.2,anneal_lag=3200"
     )
@@ -142,7 +142,15 @@ def run_train(workdir: str):
 
     hp = _hparams(workdir)
     out = os.path.join(workdir, "out")
-    ts, it = train(out, "logs", None, False, hp)
+    # Resume from the newest checkpoint if one exists (the remote tunnel
+    # occasionally wedges mid-run; restarts lose <= iters_per_checkpoint).
+    ckpt = None
+    try:
+        ckpt = _latest_ckpt(out)
+        print(f"resuming from {ckpt}")
+    except Exception:
+        pass
+    ts, it = train(out, "logs", ckpt, False, hp)
     print(f"training done at iteration {it}")
     return out
 
@@ -159,6 +167,12 @@ def _read_csv(path):
     with open(path) as f:
         header = f.readline().strip().split(",")
         rows = [line.strip().split(",") for line in f if line.strip()]
+    # resumed runs re-log an overlapping iteration range: keep the LAST
+    # occurrence of each iteration, in iteration order
+    by_it = {}
+    for r in rows:
+        by_it[int(float(r[0]))] = r
+    rows = [by_it[k] for k in sorted(by_it)]
     cols = {h: np.array([float(r[i]) for r in rows])
             for i, h in enumerate(header)}
     return cols
