@@ -286,32 +286,18 @@ def _fwd_impl(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
     return ys, resids
 
 
-def _build_loc_band(loc_w, S: int, f_pad: int = 128):
-    """Traced banded-Toeplitz location-conv matrix, F padded to f_pad lanes
-    (the Pallas forward kernel needs lane-aligned shape casts)."""
-    K, C, F = loc_w.shape
-    L = S + K - 1
-    c_ix, s_ix, k_ix, f_ix = np.meshgrid(
-        np.arange(C), np.arange(S), np.arange(K), np.arange(F), indexing="ij"
-    )
-    rows = (c_ix * L + s_ix + k_ix).reshape(-1)
-    cols = (s_ix * f_pad + f_ix).reshape(-1)
-    vals = loc_w[k_ix.reshape(-1), c_ix.reshape(-1), f_ix.reshape(-1)]
-    return jnp.zeros((C * L, S * f_pad), jnp.float32).at[rows, cols].set(vals)
-
-
 def _fwd_rule(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg):
     if cfg.use_pallas_fwd:
         from ..ops.pallas.teacher_fwd import fwd_pallas
 
-        loc_band = _build_loc_band(scan_params["loc_w"], memory.shape[1])
         dropout_on = cfg.train and (
             cfg.n_half_keep_att < 1.0 or cfg.n_half_keep_dec < 1.0
         )
         ys, resids = fwd_pallas(
             scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
-            loc_band, train_dropout=dropout_on,
+            train_dropout=dropout_on,
             interpret=cfg.pallas_interpret,
+            dtype_name=cfg.compute_dtype,
         )
         # match the XLA path's residual contract: gates in the stream dtype
         sdt = jnp.dtype(cfg.compute_dtype)

@@ -1,21 +1,33 @@
 """Teacher-forced decoder FORWARD as one Pallas kernel (grid over time).
 
-EXPERIMENTAL (off by default — enable with ScanConfig.use_pallas_fwd, or
-T2V_PALLAS_FWD=1 for perf bisection via tools/bench_step.py).
-Numerically verified against the XLA scan (tests/test_bptt.py) but currently
-speed-neutral on v5e at small batch: Mosaic supports no general major-dim
-shape casts, so the (B, S)<->(B*S, ·) conversions around the attention math
-fall back to per-example loops (B x [loc matmul, energy transpose, context
-matvec]) whose op count cancels the VMEM-pinned-weights win. At large batch
-it does not fit at all: everything-pinned-in-VMEM needs ~212MB at B=64/S=128
-(cap 128MB on v5e) — measured 2026-08, so the XLA scan (which streams
-weights per step and hits ~307k frames/s at B=64) remains the training path.
-Revisit if/when Mosaic gains relayout shape casts or batched dot_general.
+Partial-VMEM-pin training forward: every weight (bf16) stays pinned in
+VMEM across all T grid steps while per-step inputs/outputs stream, so the
+scan stops paying the ~36 MB/step HBM weight re-read that bounds the XLA
+scan (DESIGN.md "MFU lenses").
 
-Structure: every weight stays pinned in VMEM across all T grid steps, the
-location-sensitive conv is a matmul against a precomputed banded Toeplitz
-matrix, and attention runs in flattened (B*S, A) space so all math is rank-2.
-Emits exactly the ys + residuals the hand-written backward consumes.
+Round-3 redesign — the original kernel kept per-example Python loops
+around the attention math (Mosaic has no general major-dim shape casts)
+whose op count cancelled the win and whose everything-pinned layout
+needed ~212 MB at B=64.  This version lays attention math out in
+``(B, S*A)`` so every step is rank-2 matmuls + tile-repeats, with NO
+shape casts and NO per-example loops:
+
+  * location conv + loc_dense fold into ONE banded-Toeplitz matmul
+    host-side: ``band_f[(c,u), (s,a)] = sum_f loc_w[u-s,c,f] loc_dense[f,a]``,
+    so ``locd2 = xpad @ band_f`` lands directly in ``(B, S*A)``;
+  * the query broadcast over S is ``pltpu.repeat`` (np.tile semantics):
+    ``q_rep[b, s*A+a] = q[b, a]``;
+  * energies: one matmul against the block-diagonal
+    ``v_exp = kron(I_S, v)  (S*A, S)``;
+  * per-example context ``ctx[b] = w[b] @ memory[b]`` becomes ONE matmul:
+    tile w to ``(B, B*S)``, mask with the block-diagonal
+    ``kron(I_B, ones(1, S))``, multiply into ``memory_flat (B*S, E)``.
+
+Weights/matmul inputs run in the stream dtype (cfg.compute_dtype, bf16 by
+default — same as the XLA scan); state and accumulation stay fp32.
+Emits exactly the ys + recompute-regime residuals the hand-written
+backward consumes.  Enable with ScanConfig.use_pallas_fwd or
+T2V_PALLAS_FWD=1 (tools/bench_step.py for bisection).
 """
 
 from __future__ import annotations
@@ -30,61 +42,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def build_loc_band(loc_w: np.ndarray, loc_dense_w: np.ndarray, S: int,
-                   fold_dense: bool = False) -> np.ndarray:
+                   fold_dense: bool = True):
     """Banded Toeplitz matrix for the location conv as one matmul.
 
-    loc_w: (K, 2, F). Returns (2*(S+K-1), S*F) with
-    band[(c, u), (s, f)] = loc_w[u - s, c, f] for 0 <= u - s < K, so that
-    loc[b, s, f] = xpad[b, c, u] @ band — xpad being the per-channel padded
-    attention features laid out (B, 2*(S+K-1)).
+    loc_w: (K, 2, F), loc_dense_w: (F, A).  With ``fold_dense`` (default)
+    returns (2*(S+K-1), S*A) with loc_dense folded in, so that
+    ``locd2[b, s*A+a] = xpad[b, (c,u)] @ band`` — xpad being the
+    per-channel padded attention features laid out (B, 2*(S+K-1)).
     """
     K, C, F = loc_w.shape
     L = S + K - 1
-    band = np.zeros((C * L, S * F), np.float32)
-    for c in range(C):
-        for s in range(S):
-            for dk in range(K):
-                u = s + dk
-                band[c * L + u, s * F : (s + 1) * F] = loc_w[dk, c, :]
-    return band
+    c_ix, s_ix, k_ix, f_ix = np.meshgrid(
+        np.arange(C), np.arange(S), np.arange(K), np.arange(F), indexing="ij"
+    )
+    rows = (c_ix * L + s_ix + k_ix).reshape(-1)
+    cols = (s_ix * F + f_ix).reshape(-1)
+    vals = loc_w[k_ix.reshape(-1), c_ix.reshape(-1), f_ix.reshape(-1)]
+    band = jnp.zeros((C * L, S * F), jnp.float32).at[rows, cols].set(vals)
+    if not fold_dense:
+        return band
+    A = loc_dense_w.shape[1]
+    return (
+        band.reshape(C * L, S, F) @ loc_dense_w.astype(jnp.float32)
+    ).reshape(C * L, S * A)
 
 
 def _kernel(
     train_dropout,  # static bool
+    S,              # static int (so S is not re-derived from lane counts)
     # inputs
-    memory_flat_ref,   # (B*S, E)
-    pmem_flat_ref,     # (B*S, A)
-    add_mask_ref,      # (B, S)
-    q_expand_ref,      # (B*S, B) one-hot row-expansion matrix
-    attn_w_ref,        # (P+E+H, 4H)
-    attn_b_ref,        # (1, 4H)
-    dec_w_ref,         # (H+E+H, 4H)
-    dec_b_ref,         # (1, 4H)
-    query_w_ref,       # (H, A)
-    loc_band_ref,      # (2L, S*F)
-    loc_dense_w_ref,   # (F, A)
-    v_w_ref,           # (A, 1)
+    memory_flat_ref,   # (B*S, E)      stream dtype
+    pmem2_ref,         # (B, S*A)      stream dtype
+    add_mask_ref,      # (B, S)        f32
+    band_f_ref,        # (2L, S*A)     stream dtype
+    v_exp_ref,         # (S*A, S)      stream dtype
+    mask_bd_ref,       # (B, B*S)      f32 block-diagonal 0/1
+    attn_w_ref,        # (P+E+H, 4H)   stream dtype
+    attn_b_ref,        # (1, 4H)       f32
+    dec_w_ref,         # (H+E+H, 4H)   stream dtype
+    dec_b_ref,         # (1, 4H)       f32
+    query_w_ref,       # (H, A)        stream dtype
     pn_ref,            # (1, B, P) block at step t
-    m1_ref, m2_ref, m3_ref, m4_ref,  # (1, B, H) mask blocks
+    m1_ref, m2_ref, m3_ref, m4_ref,  # (1, B, H) dropout-mask blocks
     # outputs (blocks at step t)
     h_dec_ref, ctx_ref, w_ref, g_att_ref, g_dec_ref, h_att_ref,
     c_att_ref, c_dec_ref,  # post-dropout cell states (bwd needs c_prev)
-    # scratch (persist across the sequential grid)
+    # scratch (persists across the sequential grid)
     s_h_att, s_c_att, s_h_dec, s_c_dec, s_w, s_wc, s_ctx,
-    s_loc,  # (B*S, F) staging — Mosaic can't shape-cast (B, S*F)->(B*S, F)
-    s_e,    # (B, S) staging for per-example energy rows
 ):
     t = pl.program_id(0)
-    B, S = add_mask_ref.shape
+    B = add_mask_ref.shape[0]
     H4 = attn_w_ref.shape[1]
     H = H4 // 4
-    E = memory_flat_ref.shape[1]
-    A = pmem_flat_ref.shape[1]
-    F = loc_dense_w_ref.shape[0]
-    L2 = loc_band_ref.shape[0]
+    L2 = band_f_ref.shape[0]
     L = L2 // 2
-    K_m1 = L - S  # kernel-1 (pad total)
-    PAD = K_m1 // 2
+    PAD = (L - S) // 2
+    wdt = memory_flat_ref.dtype
 
     @pl.when(t == 0)
     def _init():
@@ -97,7 +110,11 @@ def _kernel(
         s_ctx[:] = jnp.zeros_like(s_ctx)
 
     def lstm(xh, w_ref_, b_ref_, c):
-        g = jnp.dot(xh, w_ref_[:], preferred_element_type=jnp.float32) + b_ref_[:]
+        g = (
+            jnp.dot(xh.astype(wdt), w_ref_[:],
+                    preferred_element_type=jnp.float32)
+            + b_ref_[:]
+        )
         i = jax.nn.sigmoid(g[:, :H])
         f = jax.nn.sigmoid(g[:, H:2 * H])
         gg = jnp.tanh(g[:, 2 * H:3 * H])
@@ -107,64 +124,43 @@ def _kernel(
         return g, h_new, c_new
 
     pn = pn_ref[0]  # (B, P)
-    h_att = s_h_att[:]
-    ctx = s_ctx[:]
 
     # attention LSTM (fused input+hidden matmul)
-    x_att = jnp.concatenate([pn, ctx, h_att], axis=1)
+    x_att = jnp.concatenate([pn, s_ctx[:], s_h_att[:]], axis=1)
     g_att, h_att_new, c_att_new = lstm(x_att, attn_w_ref, attn_b_ref, s_c_att[:])
     if train_dropout:
         h_att_new = h_att_new * m1_ref[0]
         c_att_new = c_att_new * m2_ref[0]
 
-    # location term via the banded matmul, staged per example (Mosaic has
-    # no general major-dim shape casts; (1, N) -> (R, C) reshape is fine)
+    # location term: ONE banded matmul, already fused with loc_dense
     w_prev = s_w[:]
     w_cum = s_wc[:]
-    # static lane-concat padding (dynamic_update_slice is not lowerable)
     xpad = jnp.concatenate(
         [jnp.pad(w_prev, ((0, 0), (PAD, PAD))),
          jnp.pad(w_cum, ((0, 0), (PAD, PAD)))],
         axis=1,
     )  # (B, 2L)
-    # F is padded to a multiple of 128 host-side: Mosaic only supports
-    # (1, N) -> (R, C) shape casts when C is lane-aligned.
-    for b in range(B):
-        lb = jnp.dot(xpad[b : b + 1], loc_band_ref[:],
-                     preferred_element_type=jnp.float32)  # (1, S*F)
-        s_loc[b * S : (b + 1) * S, :] = lb.reshape(S, F)
-    loc_flat = s_loc[:]
-    locd = jnp.dot(loc_flat, loc_dense_w_ref[:],
-                   preferred_element_type=jnp.float32)  # (B*S, A)
+    locd2 = jnp.dot(xpad.astype(wdt), band_f_ref[:],
+                    preferred_element_type=jnp.float32)  # (B, S*A)
 
-    q = jnp.dot(h_att_new, query_w_ref[:],
+    q = jnp.dot(h_att_new.astype(wdt), query_w_ref[:],
                 preferred_element_type=jnp.float32)  # (B, A)
-    # row (b*S+s) = q[b] via a one-hot matmul (pltpu.repeat tiles, not
-    # row-repeats, so it can't express this)
-    q_rep = jnp.dot(q_expand_ref[:], q,
-                    preferred_element_type=jnp.float32)  # (B*S, A)
-    tanh_arg = jnp.tanh(q_rep + locd + pmem_flat_ref[:])
-    e_col = jnp.dot(tanh_arg, v_w_ref[:],
-                    preferred_element_type=jnp.float32)  # (B*S, 1)
-    ones11 = jnp.ones((1, 1), jnp.float32)
-    for b in range(B):
-        # (S, 1) -> (1, S) through the MXU (contract the size-1 col)
-        s_e[b : b + 1, :] = jax.lax.dot_general(
-            ones11, e_col[b * S : (b + 1) * S],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-    e = s_e[:] + add_mask_ref[:]
+    q_rep = pltpu.repeat(q, S, axis=1)  # (B, S*A): tile => q_rep[b,sA+a]=q[b,a]
+    tanh_arg = jnp.tanh(q_rep + locd2 + pmem2_ref[:].astype(jnp.float32))
+    e = (
+        jnp.dot(tanh_arg.astype(wdt), v_exp_ref[:],
+                preferred_element_type=jnp.float32)
+        + add_mask_ref[:]
+    )  # (B, S)
     emax = jnp.max(e, axis=1, keepdims=True)
     ex = jnp.exp(e - emax)
     w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (B, S)
 
-    # context per example: ctx[b] = w[b] @ memory[b]
-    ctx_rows = [
-        jnp.dot(w[b : b + 1], memory_flat_ref[b * S : (b + 1) * S, :],
-                preferred_element_type=jnp.float32)
-        for b in range(B)
-    ]
-    ctx_new = jnp.concatenate(ctx_rows, axis=0)  # (B, E)
+    # context: tile w across B blocks, mask to block-diagonal, one matmul
+    w_tiled = pltpu.repeat(w, B, axis=1)             # (B, B*S)
+    w_bd = w_tiled * mask_bd_ref[:]                  # zero off-diagonal
+    ctx_new = jnp.dot(w_bd.astype(wdt), memory_flat_ref[:],
+                      preferred_element_type=jnp.float32)  # (B, E)
     wc_new = w_cum + w
 
     # decoder LSTM
@@ -194,29 +190,35 @@ def _kernel(
     s_ctx[:] = ctx_new
 
 
-@functools.partial(jax.jit, static_argnames=("train_dropout", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("train_dropout", "interpret", "dtype_name")
+)
 def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
-               loc_band, *, train_dropout: bool, interpret: bool = False):
+               *, train_dropout: bool, interpret: bool = False,
+               dtype_name: str = "bfloat16"):
     """Pallas forward for the BPTT scan core.
 
     Returns (ys, resids) with the same contents as decoder_bptt._fwd_impl
-    (the backward recomputes tanh_arg/loc from these, so they are not saved).
+    in the recompute regime (the backward recomputes tanh_arg/loc).
     """
     T, B, P = prenet_seq.shape
     S, E = memory.shape[1], memory.shape[2]
     A = pmem.shape[2]
     H = scan_params["attn_w"].shape[1] // 4
-    F = scan_params["loc_dense_w"].shape[0]
-    F_PAD = 128  # loc features padded to lane width (shape-cast constraint)
-    loc_dense_pad = jnp.zeros((F_PAD, A), jnp.float32).at[:F].set(
-        scan_params["loc_dense_w"]
-    )
+    wdt = jnp.dtype(dtype_name)
 
-    memory_flat = memory.reshape(B * S, E)
-    pmem_flat = pmem.reshape(B * S, A)
-    q_expand = jnp.asarray(
-        np.kron(np.eye(B, dtype=np.float32), np.ones((S, 1), np.float32))
-    )  # (B*S, B)
+    band_f = build_loc_band(
+        scan_params["loc_w"], scan_params["loc_dense_w"], S
+    ).astype(wdt)
+    v_exp = jnp.kron(
+        jnp.eye(S, dtype=jnp.float32), scan_params["v_w"].astype(jnp.float32)
+    ).astype(wdt)  # (S*A, S)
+    mask_bd = jnp.kron(
+        jnp.eye(B, dtype=jnp.float32), jnp.ones((1, S), jnp.float32)
+    )  # (B, B*S)
+
+    memory_flat = memory.reshape(B * S, E).astype(wdt)
+    pmem2 = pmem.reshape(B, S * A).astype(wdt)
 
     m1, m2, m3, m4 = drop_masks
     if m1.shape[1] == 1:  # disabled-dropout dummies -> broadcast to (T,B,H)
@@ -226,48 +228,36 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
         m4 = jnp.broadcast_to(m4, (T, B, H))
 
     step_block = lambda t: (t, 0, 0)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # memory_flat
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # pmem_flat
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # add_mask
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # q_expand
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # attn_w
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # attn_b
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # dec_w
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # dec_b
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # query_w
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # loc_band
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # loc_dense
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # v
+        full,  # memory_flat
+        full,  # pmem2
+        full,  # add_mask
+        full,  # band_f
+        full,  # v_exp
+        full,  # mask_bd
+        full,  # attn_w
+        full,  # attn_b
+        full,  # dec_w
+        full,  # dec_b
+        full,  # query_w
         pl.BlockSpec((1, B, P), step_block, memory_space=pltpu.VMEM),  # pn
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),  # m1
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),  # m2
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),  # m3
         pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),  # m4
     ]
-    out_specs = (
-        pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, E), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, S), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, 4 * H), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, 4 * H), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, B, H), step_block, memory_space=pltpu.VMEM),
+    out_specs = tuple(
+        pl.BlockSpec((1, B, d), step_block, memory_space=pltpu.VMEM)
+        for d in (H, E, S, 4 * H, 4 * H, H, H, H)
     )
-    out_shape = (
-        jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, E), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, S), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((T, B, d), jnp.float32)
+        for d in (H, E, S, 4 * H, 4 * H, H, H, H)
     )
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, bool(train_dropout)),
+        functools.partial(_kernel, bool(train_dropout), S),
         grid=(T,),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -280,19 +270,19 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
             pltpu.VMEM((B, S), jnp.float32),
             pltpu.VMEM((B, S), jnp.float32),
             pltpu.VMEM((B, E), jnp.float32),
-            pltpu.VMEM((B * S, F_PAD), jnp.float32),
-            pltpu.VMEM((B, S), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        memory_flat, pmem_flat, add_mask, q_expand,
-        scan_params["attn_w"], scan_params["attn_b"][None, :],
-        scan_params["dec_w"], scan_params["dec_b"][None, :],
-        scan_params["query_w"], loc_band, loc_dense_pad,
-        scan_params["v_w"], prenet_seq, m1, m2, m3, m4,
+        memory_flat, pmem2, add_mask, band_f, v_exp, mask_bd,
+        scan_params["attn_w"].astype(wdt),
+        scan_params["attn_b"][None, :].astype(jnp.float32),
+        scan_params["dec_w"].astype(wdt),
+        scan_params["dec_b"][None, :].astype(jnp.float32),
+        scan_params["query_w"].astype(wdt),
+        prenet_seq, m1, m2, m3, m4,
     )
     h_dec, ctx, w, g_att, g_dec, h_att, c_att, c_dec = outs
     ys = (h_dec, ctx, w)
