@@ -47,26 +47,39 @@ SR = 16000
 # 16 syllables, each a distinct harmonic chord the decoder must learn to
 # emit in text order (monotonic alignment); emotions recolor the SAME
 # sentence (label order [neu, sad, ang, hap], reference synthesizer.py).
+#
+# CRITICAL for reference-shaped KL curves: the prosody of each utterance
+# is SAMPLED around emotion-dependent means (register, brightness, tempo,
+# vibrato), not deterministic.  A deterministic corpus lets teacher
+# forcing recover everything from the previous frame, so once the
+# logistic kl_weight saturates the latent collapses to the prior (KL -> 0
+# — observed).  With stochastic per-utterance prosody the VAE (which sees
+# the whole target mel) keeps earning recon likelihood by encoding the
+# realization, so KL settles at a positive plateau and the latent space
+# organizes by emotion — the same mechanism that keeps the reference's
+# kl_div at ~40 nats on real speech (res/kldiv.png).
 SYLLS = list("가나다라마바사아자차카타파하고노")
 PARTIAL_AMPS = np.array([1.0, 0.6, 0.45, 0.32, 0.22])
-EMO_TILT = {0: 0.0, 1: -0.55, 2: 0.55, 3: 0.30}     # brightness slope
-EMO_F0 = {0: 1.0, 1: 0.88, 2: 1.12, 3: 1.05}        # register
-EMO_VIBRATO = {0: (0.0, 0.0), 1: (0.0, 0.0),        # (rate Hz, depth)
+EMO_TILT = {0: 0.0, 1: -0.55, 2: 0.55, 3: 0.30}     # brightness slope mean
+EMO_F0 = {0: 1.0, 1: 0.88, 2: 1.12, 3: 1.05}        # register mean
+EMO_DUR = {0: 1.0, 1: 1.15, 2: 0.85, 3: 0.95}       # tempo mean
+EMO_VIBRATO = {0: (0.0, 0.0), 1: (0.0, 0.0),        # (rate Hz, depth mean)
                2: (3.0, 0.012), 3: (5.5, 0.022)}
+TILT_SD, F0_SD, DUR_SD, VIB_SD = 0.10, 0.035, 0.06, 0.006
 SYLL_S = 0.12
 TAIL_S = 0.10
 TRAIN_SENTS, VAL_SENTS = 128, 16
 STEPS_TARGET = 16032  # 2004 epochs x 8 steps
 
 
-def _syll_wave(syl_idx: int, emotion: int, t: np.ndarray) -> np.ndarray:
-    f0 = (140.0 + 22.0 * syl_idx) * EMO_F0[emotion]
-    rate, depth = EMO_VIBRATO[emotion]
+def _syll_wave(syl_idx: int, prosody: dict, t: np.ndarray) -> np.ndarray:
+    f0 = (140.0 + 22.0 * syl_idx) * prosody["f0"]
+    rate, depth = prosody["vib"]
     vib = depth * np.sin(2 * np.pi * rate * t) if rate else 0.0
     phase = 2 * np.pi * f0 * (t + vib * t)
     out = np.zeros_like(t)
     for k, amp in enumerate(PARTIAL_AMPS, start=1):
-        a = amp * np.exp(EMO_TILT[emotion] * (k - 1) / 2.0)
+        a = amp * np.exp(prosody["tilt"] * (k - 1) / 2.0)
         f = f0 * k
         if f >= SR / 2 - 200:
             break
@@ -74,15 +87,30 @@ def _syll_wave(syl_idx: int, emotion: int, t: np.ndarray) -> np.ndarray:
     return out
 
 
+def _sample_prosody(emotion: int, rng: np.random.RandomState) -> dict:
+    rate, depth = EMO_VIBRATO[emotion]
+    return {
+        "f0": EMO_F0[emotion] * np.exp(F0_SD * rng.randn()),
+        "tilt": EMO_TILT[emotion] + TILT_SD * rng.randn(),
+        # clamp keeps the longest (sad, 12-syll) utterance under 128 mel
+        # frames so every batch compiles to one bucketed shape
+        "dur": float(np.clip(
+            EMO_DUR[emotion] * np.exp(DUR_SD * rng.randn()), 0.75, 1.28)),
+        "vib": (rate, max(0.0, depth + VIB_SD * rng.randn())
+                if rate else 0.0),
+    }
+
+
 def _sentence_wav(sylls: list[int], emotion: int,
                   rng: np.random.RandomState) -> np.ndarray:
-    n_syl = int(SYLL_S * SR)
+    prosody = _sample_prosody(emotion, rng)
+    n_syl = int(SYLL_S * prosody["dur"] * SR)
     fade = int(0.008 * SR)
     env = np.ones(n_syl)
     env[:fade] = np.linspace(0, 1, fade)
     env[-fade:] = np.linspace(1, 0, fade)
     t = np.arange(n_syl) / SR
-    segs = [_syll_wave(s, emotion, t) * env for s in sylls]
+    segs = [_syll_wave(s, prosody, t) * env for s in sylls]
     wav = np.concatenate(segs + [np.zeros(int(TAIL_S * SR))])
     peak = np.abs(wav).max()
     if peak > 0:
