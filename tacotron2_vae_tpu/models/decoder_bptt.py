@@ -35,6 +35,7 @@ class ScanConfig(NamedTuple):
     train: bool
     compute_dtype: str = "float32"  # dtype for the big recurrent matmuls
     use_pallas_fwd: bool = False    # run the forward as one Pallas kernel
+    use_pallas_bwd: bool = False    # run the backward as one Pallas kernel
     pallas_interpret: bool = False  # interpreter mode (tests on CPU)
 
 
@@ -70,7 +71,7 @@ def _recompute_attn(B, S, cfg):
     precompute transposed weight copies.  The Pallas forward always uses the
     slim residual contract.
     """
-    return cfg.use_pallas_fwd or B * S >= 2048
+    return cfg.use_pallas_fwd or cfg.use_pallas_bwd or B * S >= 2048
 
 
 def _split_gates(g, H):
@@ -354,6 +355,70 @@ def _bwd_rule(cfg, saved, dys):
     h_att_prev_seq = jnp.concatenate([zh, h_att_seq[:-1]], axis=0)
     h_dec_prev_seq = jnp.concatenate([zh, h_dec_seq[:-1]], axis=0)
 
+    if cfg.use_pallas_bwd and recompute:
+        # Reverse-grid Pallas kernel: weights pinned in VMEM, tanh_arg
+        # recomputed in-kernel; emits the same per-step streams the XLA
+        # reverse scan produces, so everything below the scan is shared.
+        from ..ops.pallas.teacher_fwd import bwd_pallas
+
+        dropout_on = cfg.train and (
+            cfg.n_half_keep_att < 1.0 or cfg.n_half_keep_dec < 1.0
+        )
+        (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dtanh_f32,
+         dv_k, dWq) = bwd_pallas(
+            scan_params, memory, pmem, drop_masks, dys,
+            (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq,
+             h_att_seq),
+            w_prev_seq, w_cum_prev_seq, w_seq,
+            train_dropout=dropout_on, interpret=cfg.pallas_interpret,
+            dtype_name=cfg.compute_dtype,
+        )
+        dv = dv_k.T  # (A, 1)
+        dtanh_seq = dtanh_f32
+        dloc_seq = jnp.einsum(
+            "tbsa,fa->tbsf", dtanh_seq.astype(sdt),
+            _cast_w(scan_params["loc_dense_w"], cfg),
+            preferred_element_type=jnp.float32,
+        ).astype(sdt)
+        # loc recomputed batch-parallel over T*B (no sequential dependence)
+        loc_seq_r = _loc_conv(
+            w_prev_seq.reshape(T * B, S).astype(sdt),
+            w_cum_prev_seq.reshape(T * B, S).astype(sdt),
+            _cast_w(scan_params["loc_w"], cfg),
+        ).reshape(T, B, S, -1)
+        dWld = jnp.einsum(
+            "tbsf,tbsa->fa", loc_seq_r, dtanh_seq.astype(sdt),
+            preferred_element_type=jnp.float32,
+        )
+        dpmem = jnp.sum(dtanh_seq, axis=0, dtype=jnp.float32)
+        dWloc = _loc_conv_weight_grad(
+            w_prev_seq.reshape(T * B, S).astype(dloc_seq.dtype),
+            w_cum_prev_seq.reshape(T * B, S).astype(dloc_seq.dtype),
+            dloc_seq.reshape(T * B, S, -1), K,
+        )
+        x_att_seq = jnp.concatenate(
+            [prenet_seq.astype(sdt), ctx_prev_seq.astype(sdt),
+             h_att_prev_seq.astype(sdt)], axis=-1
+        ).reshape(T * B, -1)
+        d_attn_w = _cdot(x_att_seq.T, dg_att_seq.reshape(T * B, -1), cfg)
+        d_attn_b = jnp.sum(dg_att_seq, axis=(0, 1), dtype=jnp.float32)
+        x_dec_seq = jnp.concatenate(
+            [h_att_seq.astype(sdt), ctx_seq.astype(sdt),
+             h_dec_prev_seq.astype(sdt)], axis=-1
+        ).reshape(T * B, -1)
+        d_dec_w = _cdot(x_dec_seq.T, dg_dec_seq.reshape(T * B, -1), cfg)
+        d_dec_b = jnp.sum(dg_dec_seq, axis=(0, 1), dtype=jnp.float32)
+        dmemory = jnp.einsum("tbs,tbe->bse", w_seq, dctx_tot_seq,
+                             preferred_element_type=jnp.float32)
+        d_scan_params = {
+            "attn_w": d_attn_w, "attn_b": d_attn_b,
+            "dec_w": d_dec_w, "dec_b": d_dec_b,
+            "query_w": dWq, "loc_w": dWloc, "loc_dense_w": dWld, "v_w": dv,
+        }
+        d_add_mask = jnp.zeros_like(add_mask)
+        d_masks = tuple(jnp.zeros_like(m) for m in drop_masks)
+        return (d_scan_params, dpn_seq, dmemory, dpmem, d_add_mask, d_masks)
+
     def step(carry, inp):
         (dh_att_c, dc_att_c, dh_dec_c, dc_dec_c, dw_prev_c, dwcum_c,
          dctx_c, dv_acc, dWq_acc, dWld_acc) = carry
@@ -609,6 +674,7 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         train=train,
         compute_dtype=jnp.dtype(dtype).name if dtype is not None else "float32",
         use_pallas_fwd=_os.environ.get("T2V_PALLAS_FWD", "0") == "1",
+        use_pallas_bwd=_os.environ.get("T2V_PALLAS_BWD", "0") == "1",
     )
     h_dec_seq, ctx_seq, w_seq = scan_core(
         scan_params, prenet_seq, memory, pmem, add_mask, drop_masks, cfg

@@ -292,3 +292,312 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
     c_dec_prev = jnp.concatenate([zh, c_dec[:-1]], axis=0)
     resids = (g_att, g_dec, c_att_prev, c_dec_prev, h_att)
     return ys, resids
+
+
+def _bwd_kernel(
+    train_dropout,  # static bool
+    S,              # static int
+    # pinned inputs
+    memory_flat_ref,   # (B*S, E)      stream dtype
+    pmem2_ref,         # (B, S*A)      stream dtype
+    band_f_ref,        # (2L, S*A)     stream dtype
+    rep_mat_ref,       # (S, S*A)      stream dtype: kron(I_S, ones(1, A))
+    fold_a_ref,        # (S*A, A)      stream dtype: kron(ones(S,1), I_A)
+    fold_s_ref,        # (B*S, S)      stream dtype: kron(ones(B,1), I_S)
+    mask_bd_ref,       # (B, B*S)      f32 block-diagonal 0/1
+    attn_w_ref,        # (P+E+H, 4H)   stream dtype
+    dec_w_ref,         # (H+E+H, 4H)   stream dtype
+    query_w_ref,       # (H, A)        stream dtype
+    v_row_ref,         # (1, A)        f32
+    # per-step blocks (REVERSE index map: block i holds step T-1-i)
+    dh_dec_out_ref, dctx_out_ref, dw_out_ref,           # dys
+    g_att_ref, g_dec_ref, c_att_prev_ref, c_dec_prev_ref, h_att_ref,  # resids
+    w_prev_ref, w_cum_prev_ref, w_t_ref,                # attention seqs
+    m1_ref, m2_ref, m3_ref, m4_ref,                     # dropout masks
+    # outputs (per-step blocks, same reverse map; + final accumulators)
+    dg_att_ref, dg_dec_ref, dpn_ref, dctx_tot_ref, dta_ref,
+    dv_ref,    # (1, A) f32, written at the last grid step
+    dwq_ref,   # (H, A) f32, written at the last grid step
+    # scratch carries
+    s_dh_att, s_dc_att, s_dh_dec, s_dc_dec, s_dw_prev, s_dwcum, s_dctx,
+    s_dv, s_dwq,
+):
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    B = mask_bd_ref.shape[0]
+    H4 = attn_w_ref.shape[1]
+    H = H4 // 4
+    E = memory_flat_ref.shape[1]
+    A = fold_a_ref.shape[1]
+    P = attn_w_ref.shape[0] - E - H
+    L2 = band_f_ref.shape[0]
+    L = L2 // 2
+    PAD = (L - S) // 2
+    wdt = memory_flat_ref.dtype
+
+    @pl.when(i == 0)
+    def _init():
+        s_dh_att[:] = jnp.zeros_like(s_dh_att)
+        s_dc_att[:] = jnp.zeros_like(s_dc_att)
+        s_dh_dec[:] = jnp.zeros_like(s_dh_dec)
+        s_dc_dec[:] = jnp.zeros_like(s_dc_dec)
+        s_dw_prev[:] = jnp.zeros_like(s_dw_prev)
+        s_dwcum[:] = jnp.zeros_like(s_dwcum)
+        s_dctx[:] = jnp.zeros_like(s_dctx)
+        s_dv[:] = jnp.zeros_like(s_dv)
+        s_dwq[:] = jnp.zeros_like(s_dwq)
+
+    def split4(g):
+        return g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
+
+    def lstm_bwd(g, c_prev, dh, dc):
+        gi, gf, gg, go = split4(g)
+        ii = jax.nn.sigmoid(gi)
+        ff = jax.nn.sigmoid(gf)
+        gt = jnp.tanh(gg)
+        oo = jax.nn.sigmoid(go)
+        c = ff * c_prev + ii * gt
+        tc = jnp.tanh(c)
+        do = dh * tc
+        dc_total = dc + dh * oo * (1.0 - tc * tc)
+        di = dc_total * gt
+        df = dc_total * c_prev
+        dgt = dc_total * ii
+        dc_prev = dc_total * ff
+        dgates = jnp.concatenate(
+            [di * ii * (1 - ii), df * ff * (1 - ff), dgt * (1 - gt * gt),
+             do * oo * (1 - oo)],
+            axis=-1,
+        )
+        return dgates, dc_prev
+
+    def dotT(a, w_ref_):
+        """a (B, out) x W (in, out) -> (B, in), contracting W's out axis —
+        reuses the SAME pinned buffer the forward uses, no transposed copy."""
+        return jax.lax.dot_general(
+            a.astype(wdt), w_ref_[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    g_att = g_att_ref[0].astype(jnp.float32)
+    g_dec = g_dec_ref[0].astype(jnp.float32)
+    w_prev = w_prev_ref[0]
+    w_cum_prev = w_cum_prev_ref[0]
+    w_t = w_t_ref[0]
+    h_att_d = h_att_ref[0]
+
+    # ---- recompute tanh_arg exactly as the forward did ----
+    xpad = jnp.concatenate(
+        [jnp.pad(w_prev, ((0, 0), (PAD, PAD))),
+         jnp.pad(w_cum_prev, ((0, 0), (PAD, PAD)))],
+        axis=1,
+    )
+    locd2 = jnp.dot(xpad.astype(wdt), band_f_ref[:],
+                    preferred_element_type=jnp.float32)
+    q = jnp.dot(h_att_d.astype(wdt), query_w_ref[:],
+                preferred_element_type=jnp.float32)
+    q_rep = pltpu.repeat(q, S, axis=1)
+    ta = jnp.tanh(q_rep + locd2 + pmem2_ref[:].astype(jnp.float32))
+
+    # ---- decoder LSTM backward ----
+    dh_dec_d = dh_dec_out_ref[0] + s_dh_dec[:]
+    dc_dec_d = s_dc_dec[:]
+    if train_dropout:
+        dh_dec = dh_dec_d * m3_ref[0]
+        dc_dec = dc_dec_d * m4_ref[0]
+    else:
+        dh_dec, dc_dec = dh_dec_d, dc_dec_d
+    dg_dec, dc_dec_prev = lstm_bwd(g_dec, c_dec_prev_ref[0], dh_dec, dc_dec)
+    dx_dec = dotT(dg_dec, dec_w_ref)  # (B, H+E+H)
+    dh_att_t = dx_dec[:, :H] + s_dh_att[:]
+    dctx = dx_dec[:, H:H + E] + dctx_out_ref[0] + s_dctx[:]
+    dh_dec_prev = dx_dec[:, H + E:]
+
+    # ---- attention backward ----
+    # dw from context: dctx x memory, folded back to the block diagonal
+    dw_rows = jax.lax.dot_general(
+        dctx.astype(wdt), memory_flat_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, B*S)
+    dw_mem = jnp.dot((dw_rows * mask_bd_ref[:]).astype(wdt), fold_s_ref[:],
+                     preferred_element_type=jnp.float32)  # (B, S)
+    dw = dw_out_ref[0] + s_dw_prev[:] + s_dwcum[:] + dw_mem
+
+    # softmax backward
+    dsum = jnp.sum(dw * w_t, axis=1, keepdims=True)
+    de = w_t * (dw - dsum)  # (B, S)
+
+    de_rep = jnp.dot(de.astype(wdt), rep_mat_ref[:],
+                     preferred_element_type=jnp.float32)  # (B, S*A)
+    v_tile = pltpu.repeat(v_row_ref[:], S, axis=1)  # (1, S*A)
+    dta = de_rep * v_tile * (1.0 - ta * ta)  # (B, S*A)
+    dq = jnp.dot(dta.astype(wdt), fold_a_ref[:],
+                 preferred_element_type=jnp.float32)  # (B, A)
+    dh_att_t = dh_att_t + dotT(dq, query_w_ref)  # dq @ query_w^T -> (B, H)
+
+    dxpad = jax.lax.dot_general(
+        dta.astype(wdt), band_f_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, 2L)
+    dw_prev_new = dxpad[:, PAD:PAD + S]
+    dwcum_prev = dxpad[:, L + PAD:L + PAD + S] + s_dwcum[:]
+
+    # dv accumulator: sum_{b} sum_{s} ta * de_rep, folded over S
+    tad = ta * de_rep  # (B, S*A)
+    col = jnp.dot(jnp.ones((1, B), wdt), tad.astype(wdt),
+                  preferred_element_type=jnp.float32)  # (1, S*A)
+    s_dv[:] = s_dv[:] + jnp.dot(col.astype(wdt), fold_a_ref[:],
+                                preferred_element_type=jnp.float32)
+    # dWq accumulator: h_att_d^T @ dq
+    s_dwq[:] = s_dwq[:] + jax.lax.dot_general(
+        h_att_d.astype(wdt), dq.astype(wdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # ---- attention LSTM backward ----
+    if train_dropout:
+        dh_att = dh_att_t * m1_ref[0]
+        dc_att = s_dc_att[:] * m2_ref[0]
+    else:
+        dh_att, dc_att = dh_att_t, s_dc_att[:]
+    dg_att, dc_att_prev = lstm_bwd(g_att, c_att_prev_ref[0], dh_att, dc_att)
+    dx_att = dotT(dg_att, attn_w_ref)  # (B, P+E+H)
+    dpn = dx_att[:, :P]
+    dctx_prev = dx_att[:, P:P + E]
+    dh_att_prev = dx_att[:, P + E:]
+
+    # ---- outputs ----
+    dg_att_ref[0] = dg_att
+    dg_dec_ref[0] = dg_dec
+    dpn_ref[0] = dpn
+    dctx_tot_ref[0] = dctx
+    dta_ref[0] = dta
+
+    # ---- update carries ----
+    s_dh_att[:] = dh_att_prev
+    s_dc_att[:] = dc_att_prev
+    s_dh_dec[:] = dh_dec_prev
+    s_dc_dec[:] = dc_dec_prev
+    s_dw_prev[:] = dw_prev_new
+    s_dwcum[:] = dwcum_prev
+    s_dctx[:] = dctx_prev
+
+    @pl.when(i == T - 1)
+    def _finalize():
+        dv_ref[:] = s_dv[:]
+        dwq_ref[:] = s_dwq[:]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("train_dropout", "interpret", "dtype_name")
+)
+def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
+               w_prev_seq, w_cum_prev_seq, w_seq,
+               *, train_dropout: bool, interpret: bool = False,
+               dtype_name: str = "bfloat16"):
+    """Pallas backward for the BPTT scan core (reverse grid over T).
+
+    Weights stay pinned in VMEM; emits the same per-step streams the XLA
+    reverse scan produces — (dg_att, dg_dec, dpn, dctx_tot, dtanh) plus the
+    in-kernel (dv, dWq) accumulators — so decoder_bptt._bwd_rule's post-scan
+    machinery (big dW matmuls, dWloc/dWld/dpmem/dmemory reductions) is
+    unchanged.  dtanh is returned flattened (T, B, S*A); the caller
+    reshapes (free in XLA).
+    """
+    dh_dec_seq, dctx_seq, dw_seq = dys
+    g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq, h_att_seq = resids
+    T, B, _ = dh_dec_seq.shape
+    S, E = memory.shape[1], memory.shape[2]
+    A = pmem.shape[2]
+    H = scan_params["attn_w"].shape[1] // 4
+    P = scan_params["attn_w"].shape[0] - E - H
+    wdt = jnp.dtype(dtype_name)
+
+    band_f = build_loc_band(
+        scan_params["loc_w"], scan_params["loc_dense_w"], S
+    ).astype(wdt)
+    rep_mat = jnp.kron(jnp.eye(S, dtype=jnp.float32),
+                       jnp.ones((1, A), jnp.float32)).astype(wdt)
+    fold_a = jnp.kron(jnp.ones((S, 1), jnp.float32),
+                      jnp.eye(A, dtype=jnp.float32)).astype(wdt)
+    fold_s = jnp.kron(jnp.ones((B, 1), jnp.float32),
+                      jnp.eye(S, dtype=jnp.float32)).astype(wdt)
+    mask_bd = jnp.kron(jnp.eye(B, dtype=jnp.float32),
+                       jnp.ones((1, S), jnp.float32))
+    memory_flat = memory.reshape(B * S, E).astype(wdt)
+    pmem2 = pmem.reshape(B, S * A).astype(wdt)
+
+    m1, m2, m3, m4 = drop_masks
+    if m1.shape[1] == 1:
+        m1 = jnp.broadcast_to(m1, (T, B, H))
+        m2 = jnp.broadcast_to(m2, (T, B, H))
+        m3 = jnp.broadcast_to(m3, (T, B, H))
+        m4 = jnp.broadcast_to(m4, (T, B, H))
+
+    rev = lambda i: (T - 1 - i, 0, 0)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def step_in(d):
+        return pl.BlockSpec((1, B, d), rev, memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [full] * 11
+        + [step_in(H), step_in(E), step_in(S)]          # dys
+        + [step_in(4 * H), step_in(4 * H), step_in(H), step_in(H),
+           step_in(H)]                                   # resids
+        + [step_in(S), step_in(S), step_in(S)]           # w seqs
+        + [step_in(H)] * 4                               # dropout masks
+    )
+    out_specs = (
+        step_in(4 * H), step_in(4 * H), step_in(P), step_in(E),
+        step_in(S * A),
+        pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )
+    sdt = wdt  # stream dtype for the fat outputs (matches the XLA path)
+    out_shape = (
+        jax.ShapeDtypeStruct((T, B, 4 * H), sdt),
+        jax.ShapeDtypeStruct((T, B, 4 * H), sdt),
+        jax.ShapeDtypeStruct((T, B, P), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, E), jnp.float32),
+        jax.ShapeDtypeStruct((T, B, S * A), sdt),
+        jax.ShapeDtypeStruct((1, A), jnp.float32),
+        jax.ShapeDtypeStruct((H, A), jnp.float32),
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, bool(train_dropout), S),
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),  # dh_att
+            pltpu.VMEM((B, H), jnp.float32),  # dc_att
+            pltpu.VMEM((B, H), jnp.float32),  # dh_dec
+            pltpu.VMEM((B, H), jnp.float32),  # dc_dec
+            pltpu.VMEM((B, S), jnp.float32),  # dw_prev
+            pltpu.VMEM((B, S), jnp.float32),  # dwcum
+            pltpu.VMEM((B, E), jnp.float32),  # dctx
+            pltpu.VMEM((1, A), jnp.float32),  # dv acc
+            pltpu.VMEM((H, A), jnp.float32),  # dWq acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        memory_flat, pmem2, band_f, rep_mat, fold_a, fold_s, mask_bd,
+        scan_params["attn_w"].astype(wdt),
+        scan_params["dec_w"].astype(wdt),
+        scan_params["query_w"].astype(wdt),
+        scan_params["v_w"].T.astype(jnp.float32),  # (1, A)
+        dh_dec_seq, dctx_seq, dw_seq,
+        g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq, h_att_seq,
+        w_prev_seq, w_cum_prev_seq, w_seq,
+        m1, m2, m3, m4,
+    )
+    (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dta_seq,
+     dv, dwq) = outs
+    return (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
+            dta_seq.reshape(T, B, S, A), dv, dwq)

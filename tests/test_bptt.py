@@ -276,3 +276,35 @@ def test_loc_conv_weight_grad_conv_branch_matches_einsum_and_autodiff():
         got_big, want_big,
         atol=5e-3 * float(np.abs(want_big).max()), rtol=2e-4,
     )
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_pallas_bwd_matches_autodiff(train):
+    """The Pallas backward kernel (interpret mode) produces the same
+    gradients as autodiff of the XLA forward."""
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(train)
+    cfg_p = cfg._replace(use_pallas_bwd=True, pallas_interpret=True)
+
+    def loss_pallas(scan_params, prenet_seq, memory, pmem):
+        h, c, w = bptt.scan_core(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg_p
+        )
+        return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3)
+
+    def loss_auto(scan_params, prenet_seq, memory, pmem):
+        (h, c, w), _ = bptt._fwd_impl(
+            scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg
+        )
+        return jnp.sum(h ** 2) + jnp.sum(c * 0.5) + jnp.sum(w ** 3)
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    v1, g1 = jax.value_and_grad(loss_pallas, argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(loss_auto, argnums=(0, 1, 2, 3))(*args)
+    assert abs(float(v1) - float(v2)) < 1e-4
+    flat1, tree1 = jax.tree_util.tree_flatten(g1)
+    flat2, tree2 = jax.tree_util.tree_flatten(g2)
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=2e-4
+        )
