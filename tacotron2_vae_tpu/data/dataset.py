@@ -102,7 +102,15 @@ class TextMelDataset:
         )
 
     def mel_cache_path(self, audiopath: str) -> str:
-        return f"{audiopath}.{self._cache_tag}.npy"
+        """Cache file beside the wav; the suffix encodes the STFT config AND
+        the wav's (mtime_ns, size) so a regenerated/edited wav at the same
+        path never reads a stale mel."""
+        try:
+            st = os.stat(audiopath)
+            src = f"{st.st_mtime_ns:x}{st.st_size:x}"
+        except OSError:
+            src = "nosrc"
+        return f"{audiopath}.{self._cache_tag}.{src}.npy"
 
     def get_mel(self, audiopath: str) -> np.ndarray:
         """wav -> (n_mel, T) log-mel; honors load_mel_from_disk (.npy).

@@ -48,16 +48,20 @@ SR = 16000
 # emit in text order (monotonic alignment); emotions recolor the SAME
 # sentence (label order [neu, sad, ang, hap], reference synthesizer.py).
 #
-# CRITICAL for reference-shaped KL curves: the prosody of each utterance
-# is SAMPLED around emotion-dependent means (register, brightness, tempo,
-# vibrato), not deterministic.  A deterministic corpus lets teacher
-# forcing recover everything from the previous frame, so once the
-# logistic kl_weight saturates the latent collapses to the prior (KL -> 0
-# — observed).  With stochastic per-utterance prosody the VAE (which sees
-# the whole target mel) keeps earning recon likelihood by encoding the
-# realization, so KL settles at a positive plateau and the latent space
-# organizes by emotion — the same mechanism that keeps the reference's
-# kl_div at ~40 nats on real speech (res/kldiv.png).
+# CRITICAL for reference-shaped KL curves: prosody must carry FUTURE
+# information only the VAE can know.  Two failure modes observed here:
+# (1) a fully deterministic corpus — teacher forcing recovers everything
+# from the previous frame, latent collapses to the prior at kl_weight
+# saturation (KL -> 0); (2) per-utterance-constant random prosody — the
+# realization leaks through the first few teacher-forced frames, same
+# collapse.  What keeps the reference's kl_div at ~40 nats on real
+# speech is per-frame/per-phone novelty that the whole-target encoder
+# sees but the autoregressive decoder cannot predict.  Reproduced here
+# with PER-SYLLABLE sampled realization (amplitude, f0 jitter, duration
+# jitter) on top of per-utterance emotion-mean prosody: at every
+# syllable boundary the next chord's realization is unpredictable from
+# the past but encoded in z, so the recon gain from the latent persists
+# and KL settles at a positive plateau organized by emotion.
 SYLLS = list("가나다라마바사아자차카타파하고노")
 PARTIAL_AMPS = np.array([1.0, 0.6, 0.45, 0.32, 0.22])
 EMO_TILT = {0: 0.0, 1: -0.55, 2: 0.55, 3: 0.30}     # brightness slope mean
@@ -66,6 +70,8 @@ EMO_DUR = {0: 1.0, 1: 1.15, 2: 0.85, 3: 0.95}       # tempo mean
 EMO_VIBRATO = {0: (0.0, 0.0), 1: (0.0, 0.0),        # (rate Hz, depth mean)
                2: (3.0, 0.012), 3: (5.5, 0.022)}
 TILT_SD, F0_SD, DUR_SD, VIB_SD = 0.10, 0.035, 0.06, 0.006
+# per-syllable realization spread (the future-information source)
+SYL_AMP_SD, SYL_F0_SD, SYL_DUR_SD = 0.30, 0.045, 0.08
 SYLL_S = 0.12
 TAIL_S = 0.10
 TRAIN_SENTS, VAL_SENTS = 128, 16
@@ -104,13 +110,22 @@ def _sample_prosody(emotion: int, rng: np.random.RandomState) -> dict:
 def _sentence_wav(sylls: list[int], emotion: int,
                   rng: np.random.RandomState) -> np.ndarray:
     prosody = _sample_prosody(emotion, rng)
-    n_syl = int(SYLL_S * prosody["dur"] * SR)
     fade = int(0.008 * SR)
-    env = np.ones(n_syl)
-    env[:fade] = np.linspace(0, 1, fade)
-    env[-fade:] = np.linspace(1, 0, fade)
-    t = np.arange(n_syl) / SR
-    segs = [_syll_wave(s, prosody, t) * env for s in sylls]
+    segs = []
+    for s in sylls:
+        # per-syllable realization: unpredictable at each boundary
+        syl_p = dict(prosody)
+        syl_p["f0"] = prosody["f0"] * np.exp(SYL_F0_SD * rng.randn())
+        amp = np.exp(SYL_AMP_SD * rng.randn())
+        # 1.30 cap keeps even an all-max 12-syllable utterance < 128 frames
+        dur = float(np.clip(
+            prosody["dur"] * np.exp(SYL_DUR_SD * rng.randn()), 0.7, 1.30))
+        n_syl = int(SYLL_S * dur * SR)
+        env = np.ones(n_syl)
+        env[:fade] = np.linspace(0, 1, fade)
+        env[-fade:] = np.linspace(1, 0, fade)
+        t = np.arange(n_syl) / SR
+        segs.append(amp * _syll_wave(s, syl_p, t) * env)
     wav = np.concatenate(segs + [np.zeros(int(TAIL_S * SR))])
     peak = np.abs(wav).max()
     if peak > 0:
@@ -153,14 +168,15 @@ def make_corpus(workdir: str) -> tuple[str, str]:
 def _hparams(workdir: str):
     from tacotron2_vae_tpu.config import create_hparams
 
-    # Logistic anneal scaled 250k -> 16k run: x0 at the same run fraction
-    # (10k/250k -> 640/16k) and k scaled by the inverse (ramp width covers
-    # the same fraction), so kl_weight traces the reference's trajectory.
+    # Logistic anneal rescaled to the 16k-step run (reference: x0=10000,
+    # k=0.0025 over 250k, hparams.py:72-76): x0 lands after the recon
+    # descent settles, k gives a ~500-step ramp — sharper ramps were
+    # observed to collapse the latent before it could compress.
     return create_hparams(
         f"training_files={workdir}/train.txt,"
         f"validation_files={workdir}/val.txt,"
         "batch_size=64,epochs=2004,iters_per_checkpoint=2000,"
-        "anneal_function='logistic',anneal_x0=640,anneal_k=0.04,"
+        "anneal_function='logistic',anneal_x0=1500,anneal_k=0.02,"
         "anneal_upper=0.2,anneal_lag=3200"
     )
 
@@ -264,7 +280,7 @@ def run_assets(workdir: str, res_dir: str):
     curve("reconloss.png", it, tr["recon_loss"],
           "recon_loss (mel MSE x2 + gate BCE)", "recon loss")
     curve("kldiv.png", it, tr["kl_div"],
-          "kl_div (summed KL; logistic anneal x0=640)", "KL")
+          "kl_div (summed KL; logistic anneal x0=1500)", "KL")
     curve("klweight.png", it, tr["kl_weight"],
           "kl_weight (logistic schedule, reference hparams.py:72-76 scaled)",
           "kl weight", smooth=False)
@@ -327,7 +343,7 @@ def run_assets(workdir: str, res_dir: str):
     summary = {
         "steps": int(it[-1]) + 1,
         "batch": 64,
-        "anneal": "logistic x0=640 k=0.04 (reference x0=10000 k=0.0025 scaled 250k->16k)",
+        "anneal": "logistic x0=1500 k=0.02 (reference x0=10000 k=0.0025, rescaled to the 16k-step run)",
         "final_train_loss_ema": round(float(_ema(tr["loss"])[-1]), 4),
         "final_recon_loss_ema": round(float(_ema(tr["recon_loss"])[-1]), 4),
         "final_val_loss": round(float(va["loss"][-1]), 4),
