@@ -71,8 +71,17 @@ EMO_DUR = {0: 1.0, 1: 1.15, 2: 0.85, 3: 0.95}       # tempo mean
 EMO_VIBRATO = {0: (0.0, 0.0), 1: (0.0, 0.0),        # (rate Hz, depth mean)
                2: (3.0, 0.012), 3: (5.5, 0.022)}
 TILT_SD, F0_SD, DUR_SD, VIB_SD = 0.10, 0.035, 0.06, 0.006
-# per-syllable realization spread (the future-information source)
-SYL_AMP_SD, SYL_F0_SD, SYL_DUR_SD = 0.30, 0.045, 0.08
+# Per-syllable realization spread (the future-information source).  These
+# are LARGE on purpose: with the reference's summed-KL objective at B=64,
+# one nat of latent costs 1e-3 loss at the constant 0.001 weight, so the
+# realization must be worth more recon than that or the model rationally
+# ignores it (KL ~= 0.02 observed at milder spreads).  Big amplitude
+# swings + a per-syllable f0 GLIDE (slope revealed only gradually to the
+# teacher-forced decoder, known exactly to the whole-target encoder)
+# push the top tens of nats above the price line.
+SYL_AMP_SD, SYL_F0_SD, SYL_DUR_SD = 0.80, 0.10, 0.08
+SYL_GLIDE_SD = 0.12     # per-syllable log-f0 glide over the syllable
+EMO_AMP = {0: 1.0, 1: 0.75, 2: 1.30, 3: 1.10}  # loudness mean by emotion
 SYLL_S = 0.12
 TAIL_S = 0.10
 TRAIN_SENTS, VAL_SENTS = 128, 16
@@ -83,7 +92,13 @@ def _syll_wave(syl_idx: int, prosody: dict, t: np.ndarray) -> np.ndarray:
     f0 = (140.0 + 22.0 * syl_idx) * prosody["f0"]
     rate, depth = prosody["vib"]
     vib = depth * np.sin(2 * np.pi * rate * t) if rate else 0.0
-    phase = 2 * np.pi * f0 * (t + vib * t)
+    # linear log-f0 glide across the syllable (slope is per-syllable random)
+    glide = prosody.get("glide", 0.0)
+    tt = t / max(t[-1], 1e-6)
+    inst = np.exp(glide * (tt - 0.5))  # frequency multiplier over time
+    # integrate the multiplier for a phase-coherent glide
+    cum = np.concatenate([[0.0], np.cumsum(inst[:-1])]) / len(t) * t[-1]
+    phase = 2 * np.pi * f0 * (cum + vib * t)
     out = np.zeros_like(t)
     for k, amp in enumerate(PARTIAL_AMPS, start=1):
         a = amp * np.exp(prosody["tilt"] * (k - 1) / 2.0)
@@ -117,7 +132,8 @@ def _sentence_wav(sylls: list[int], emotion: int,
         # per-syllable realization: unpredictable at each boundary
         syl_p = dict(prosody)
         syl_p["f0"] = prosody["f0"] * np.exp(SYL_F0_SD * rng.randn())
-        amp = np.exp(SYL_AMP_SD * rng.randn())
+        syl_p["glide"] = SYL_GLIDE_SD * rng.randn()
+        amp = EMO_AMP[emotion] * np.exp(SYL_AMP_SD * rng.randn())
         # 1.30 cap keeps even an all-max 12-syllable utterance < 128 frames
         dur = float(np.clip(
             prosody["dur"] * np.exp(SYL_DUR_SD * rng.randn()), 0.7, 1.30))
@@ -128,9 +144,9 @@ def _sentence_wav(sylls: list[int], emotion: int,
         t = np.arange(n_syl) / SR
         segs.append(amp * _syll_wave(s, syl_p, t) * env)
     wav = np.concatenate(segs + [np.zeros(int(TAIL_S * SR))])
-    peak = np.abs(wav).max()
-    if peak > 0:
-        wav = 0.35 * wav / peak
+    # FIXED gain (not per-wav peak normalization — that would erase the
+    # emotion-mean loudness differences the latent is supposed to encode)
+    wav = np.clip(0.10 * wav, -0.99, 0.99)
     wav = wav + 0.004 * rng.randn(len(wav))
     return wav.astype(np.float32)
 
