@@ -492,28 +492,35 @@ a koemo-format corpus and re-running `train`/`assets`.
 
 def run_samples(workdir: str, out_dir: str):
     """Refresh samples/generated from the curve-run checkpoint (all four
-    reference inference recipes through the serving layer)."""
-    import subprocess
+    reference inference recipes through the serving layer).  In-process:
+    the axon tunnel serves ONE client at a time, so spawning
+    inference_demo subprocesses while this process holds the chip would
+    wedge them."""
+    import argparse as _ap
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import inference_demo as demo
+
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
 
     ckpt = _latest_ckpt(os.path.join(workdir, "out"))
     val_list = os.path.join(workdir, "val.txt")
     os.makedirs(out_dir, exist_ok=True)
-    demo = os.path.join(REPO, "tools", "inference_demo.py")
     text = "가나다라마바사아"
+    ref_wav = [line.split("|")[0]
+               for line in open(val_list, encoding="utf-8")][1]
 
-    def run(args):
-        print("+", " ".join(args))
-        subprocess.run([sys.executable, demo] + args, check=True)
+    synth = Synthesizer()
+    synth.load(ckpt, None, centroid_filelist=val_list)
 
-    run(["latents", "--checkpoint", ckpt, "--filelist", val_list,
-         "-o", out_dir])
-    ref_wav = [line.split("|")[0] for line in open(val_list, encoding="utf-8")][1]
-    run(["ref", "--checkpoint", ckpt, "--filelist", val_list,
-         "--text", text, "--ref_audio", ref_wav, "-o", out_dir])
-    run(["interp", "--checkpoint", ckpt, "--filelist", val_list,
-         "--text", text, "--from", "sad", "--to", "hap", "-o", out_dir])
-    run(["mix", "--checkpoint", ckpt, "--filelist", val_list,
-         "--text", text, "--ratios", "0.25,0.25,0.25,0.25", "-o", out_dir])
+    def ns(**kw):
+        return _ap.Namespace(outdir=out_dir, filelist=val_list, text=text,
+                             **kw)
+
+    demo.cmd_latents(ns(), synth)
+    demo.cmd_ref(ns(ref_audio=ref_wav), synth)
+    demo.cmd_interp(ns(frm="sad", to="hap"), synth)
+    demo.cmd_mix(ns(ratios="0.25,0.25,0.25,0.25"), synth)
     with open(os.path.join(out_dir, "README.md"), "w") as f:
         f.write(SAMPLES_README)
     print("samples refreshed in", out_dir)
