@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Stall-tolerant supervisor for the curve-reproduction run.
+
+The axon remote-TPU tunnel wedges a client process non-deterministically
+(observed ~1/3 of launches and occasionally mid-run: the process parks on
+a device fetch with zero CPU forever).  This supervisor launches
+`curves_run.py train` as a child, watches the metrics CSV for progress,
+and kills + relaunches on stall — `run_train` resumes from the newest
+checkpoint, so a restart loses at most iters_per_checkpoint steps.  When
+training reaches the target step count it runs assets+samples (also
+supervised).
+
+Usage: nohup python tools/supervise_curves.py --workdir /tmp/t2v_curves &
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CURVES = os.path.join(REPO, "tools", "curves_run.py")
+
+
+def csv_progress(workdir: str) -> int:
+    p = os.path.join(workdir, "out", "logs", "metrics.csv")
+    try:
+        with open(p) as f:
+            last = 0
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("iteration"):
+                    last = max(last, int(line.split(",", 1)[0]))
+            return last
+    except OSError:
+        return -1
+
+
+def kill_tree(proc: subprocess.Popen):
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        try:
+            proc.kill()
+        except ProcessLookupError:
+            pass
+    try:
+        proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        pass
+
+
+def supervised(stages: list[str], workdir: str, log: str,
+               stall_s: int, startup_s: int, target: int | None) -> None:
+    attempt = 0
+    while True:
+        attempt += 1
+        print(f"[supervisor] attempt {attempt}: {stages}", flush=True)
+        with open(log, "ab") as lf:
+            proc = subprocess.Popen(
+                [sys.executable, CURVES, *stages, "--workdir", workdir],
+                stdout=lf, stderr=lf, start_new_session=True,
+            )
+        t_start = time.time()
+        last_it, last_change = csv_progress(workdir), time.time()
+        while True:
+            time.sleep(30)
+            rc = proc.poll()
+            if rc is not None:
+                if rc == 0:
+                    print(f"[supervisor] {stages} done", flush=True)
+                    return
+                print(f"[supervisor] child rc={rc}; retrying", flush=True)
+                break
+            if target == "wall":
+                # non-CSV stage (assets/samples): bound by wall clock only
+                if time.time() - t_start > startup_s:
+                    print("[supervisor] wall timeout; killing + retrying",
+                          flush=True)
+                    kill_tree(proc)
+                    time.sleep(60)
+                    break
+                continue
+            it = csv_progress(workdir)
+            if it != last_it:
+                last_it, last_change = it, time.time()
+            limit = startup_s if last_it <= 0 else stall_s
+            if time.time() - last_change > limit:
+                print(f"[supervisor] stall at it={last_it} "
+                      f"({int(time.time() - last_change)}s quiet); "
+                      "killing + relaunching", flush=True)
+                kill_tree(proc)
+                time.sleep(60)
+                break
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", default="/tmp/t2v_curves")
+    p.add_argument("--stall", type=int, default=240,
+                   help="seconds without CSV progress before restart")
+    p.add_argument("--startup", type=int, default=900,
+                   help="grace for featurize+compile before first step")
+    args = p.parse_args()
+    log = os.path.join(args.workdir, "run.log")
+    supervised(["train"], args.workdir, log, args.stall, args.startup, None)
+    # assets+samples: ~10 min of compiles + embeddings; bound by wall clock
+    supervised(["assets", "samples"], args.workdir, log,
+               args.stall, 1800, "wall")
+    print("[supervisor] all stages complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
