@@ -13,11 +13,11 @@ exactly the reference's design) and drives the REAL training stack
 (`training.train.train`: filelist -> bulk mel cache -> bucketed batches
 -> custom-BPTT mesh step -> orbax checkpoints -> CSV/tensorboard logs)
 for ~16k steps at batch 64 in the KL regime the reference's published
-curves actually come from (the ~0.001/nat price level, via the
-reference's 'linear' schedule with a free-latent lag — see the forensic
-note in `_hparams` and res/README.md: the shipped logistic default
-provably collapses the latent and cannot have produced their res/
-images).
+curves actually come from (a low constant nat-price applied after a
+free-latent lag, via the reference's own 'linear' schedule — see the
+forensic note in `_hparams` and res/README.md: the shipped logistic
+default provably collapses the latent and cannot have produced their
+res/ images).
 
 Stages (run `all` or any subset):
   corpus   build wavs + filelists under --workdir
@@ -201,18 +201,21 @@ def _hparams(workdir: str):
     # run therefore uses constant — the regime the reference's artifacts
     # actually come from.
     # The run uses the reference's 'linear' schedule (loss_function.py:18-22:
-    # weight 0 until anneal_lag, then min(upper, step/x0)) tuned to the
-    # published price level: free latent for 1200 steps (the z->decoder
-    # pathway must establish BEFORE a price exists, or the model lands in
-    # the ignore-z local optimum — measured: constant-0.001 from step 0
-    # leaves KL at ~0.01 forever), then ~0.0015/nat, the same order as the
-    # constant-0.001 regime the reference's curves come from.
+    # weight 0 until anneal_lag, then min(upper, step/x0)).  Two measured
+    # constraints set the overrides: (1) the z->decoder pathway must
+    # establish BEFORE any price exists or the model lands in the
+    # ignore-z local optimum (constant-0.001 from step 0 leaves KL ~0.01
+    # forever) -> lag=1200; (2) the latent is bistable in price: 1.5e-3
+    # triggers a death spiral from KL~8000 to ~0 within 50 steps, while
+    # 1e-4 settles at a genuine equilibrium (KL 150-300) whose
+    # weight*KL/recon ratio (~10%) matches the reference's published
+    # total-vs-recon gap (0.04/0.40) -> upper=1e-4.
     return create_hparams(
         f"training_files={workdir}/train.txt,"
         f"validation_files={workdir}/val.txt,"
         "batch_size=64,epochs=2004,iters_per_checkpoint=2000,"
         "anneal_function='linear',anneal_lag=1200,anneal_x0=1000000,"
-        "anneal_upper=0.0015"
+        "anneal_upper=0.0001"
     )
 
 
@@ -318,7 +321,7 @@ def run_assets(workdir: str, res_dir: str):
           "kl_div (summed KL; constant anneal — see README forensics)", "KL")
     curve("klweight.png", it, tr["kl_weight"],
           "kl_weight (reference 'linear' schedule: free until lag=1200, "
-          "then capped at 0.0015 — the published price regime)",
+          "then capped at 1e-4 — weight*KL/recon matches the published gap)",
           "kl weight", smooth=False)
     curve("validloss.png", va["iteration"], va["loss"],
           "validation.loss (averaged over val set)", "val loss",
@@ -379,7 +382,7 @@ def run_assets(workdir: str, res_dir: str):
     summary = {
         "steps": int(it[-1]) + 1,
         "batch": 64,
-        "anneal": "reference linear schedule, lag=1200 upper=0.0015 (the ~0.001/nat price regime the reference's published curves come from; its logistic default provably collapses the latent — see forensics below)",
+        "anneal": "reference linear schedule, lag=1200 upper=1e-4 (price chosen so weight*KL/recon matches the reference's published ~10% gap; its logistic default provably collapses the latent — see forensics below)",
         "final_train_loss_ema": round(float(_ema(tr["loss"])[-1]), 4),
         "final_recon_loss_ema": round(float(_ema(tr["recon_loss"])[-1]), 4),
         "final_val_loss": round(float(va["loss"][-1]), 4),
