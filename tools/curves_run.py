@@ -296,11 +296,13 @@ def run_assets(workdir: str, res_dir: str):
     va = _read_csv(os.path.join(logdir, "val_metrics.csv"))
     os.makedirs(res_dir, exist_ok=True)
 
-    def curve(name, xs, ys, title, ylabel, smooth=True):
+    def curve(name, xs, ys, title, ylabel, smooth=True, ylim=None):
         fig, ax = plt.subplots(figsize=(9, 3.6))
         ax.plot(xs, ys, lw=0.7, alpha=0.35, color="#ff6f4f")
         if smooth and len(ys) > 10:
             ax.plot(xs, _ema(ys), lw=1.4, color="#e8552e")
+        if ylim is not None:
+            ax.set_ylim(*ylim)
         ax.set_xlabel("step")
         ax.set_ylabel(ylabel)
         ax.set_title(title)
@@ -312,13 +314,22 @@ def run_assets(workdir: str, res_dir: str):
         print("wrote", p)
 
     it = tr["iteration"]
+    # y-limits clamp the first-seconds init transient / free-latent spike
+    # so the plateau — the behavior the reference's plots show — is
+    # visible; the clipped region is stated in each title.
+    loss_cap = float(np.percentile(tr["loss"][len(it) // 10:], 99.5)) * 1.6
     curve("trainingloss.png", it, tr["loss"],
-          "training.loss — 16k-step run, synthetic emotional corpus, B=64",
-          "total loss")
+          "training.loss — 16k-step run, synthetic emotional corpus, B=64 "
+          "(init transient clipped)",
+          "total loss", ylim=(0, loss_cap))
     curve("reconloss.png", it, tr["recon_loss"],
-          "recon_loss (mel MSE x2 + gate BCE)", "recon loss")
+          "recon_loss (mel MSE x2 + gate BCE; init transient clipped)",
+          "recon loss", ylim=(0, loss_cap))
+    kl_cap = float(np.percentile(
+        tr["kl_div"][np.asarray(it) > 2000], 99.5)) * 1.8
     curve("kldiv.png", it, tr["kl_div"],
-          "kl_div (summed KL; constant anneal — see README forensics)", "KL")
+          "kl_div (summed KL) — free-latent warmup spike (to ~8e3) clipped; "
+          "priced plateau shown", "KL", ylim=(0, kl_cap))
     curve("klweight.png", it, tr["kl_weight"],
           "kl_weight (reference 'linear' schedule: free until lag=1200, "
           "then capped at 1e-4 — weight*KL/recon matches the published gap)",
@@ -377,8 +388,10 @@ def run_assets(workdir: str, res_dir: str):
     save_img(plot_tsne(zs, labels), "tsne.png")
 
     kl = tr["kl_div"]
-    n = len(kl)
-    trough_i = int(np.argmin(_ema(kl)[: n // 2]))
+    kl_ema = np.array(_ema(kl))
+    # KL stats over the PRICED region only (post-lag; the free-latent
+    # warmup spike to thousands of nats is a different regime)
+    priced = it > 1200 + 400
     summary = {
         "steps": int(it[-1]) + 1,
         "batch": 64,
@@ -386,9 +399,8 @@ def run_assets(workdir: str, res_dir: str):
         "final_train_loss_ema": round(float(_ema(tr["loss"])[-1]), 4),
         "final_recon_loss_ema": round(float(_ema(tr["recon_loss"])[-1]), 4),
         "final_val_loss": round(float(va["loss"][-1]), 4),
-        "kl_trough_step": int(it[trough_i]),
-        "kl_trough_ema": round(float(_ema(kl)[trough_i]), 2),
-        "kl_final_ema": round(float(_ema(kl)[-1]), 2),
+        "kl_postlag_max_ema": round(float(kl_ema[priced].max()), 2),
+        "kl_final_ema": round(float(kl_ema[-1]), 2),
         "checkpoint": os.path.basename(ckpt),
         "corpus": f"{TRAIN_SENTS * 4} train / {VAL_SENTS * 4} val wavs, "
                   "4 emotions (audio-only signal)",
@@ -430,14 +442,24 @@ Image-by-image mapping to the reference (matching qualitative behavior):
 - `trainingloss.png` <- ref `res/trainingloss.png`: steep fall then a noisy
   plateau (ref plateaus ~=0.40-0.45 at 250k on real speech).
 - `reconloss.png`: the recon component alone, same plateau shape.
-- `kldiv.png` <- ref `res/kldiv.png`: KL falls from its initialization
-  transient to a trough (ref: ~35 around 20-40k of 250k), then drifts
-  back up and plateaus noisily while recon keeps exploiting the
-  near-free latent.
+- `kldiv.png` <- ref `res/kldiv.png`: after the free-latent warmup spike,
+  KL settles into a SUSTAINED positive plateau for the rest of the run
+  (~95 nats here vs the ref's ~40 on real speech) — the latent stays
+  alive and priced instead of collapsing to the prior, which is the
+  property the reference's plot demonstrates.  (The reference's slow
+  upward drift within its plateau is not reproduced: on this synthetic
+  corpus the per-syllable innovation pool is fixed, so KL relaxes
+  monotonically onto its equilibrium; real speech keeps yielding new
+  encodable detail as recon sharpens.)
 - `klweight.png`: the constant schedule (see forensics below).
 - `validloss.png` <- the reference's validation.loss scalar (this framework
   logs the *averaged* val loss; the reference logs the last batch's —
-  SURVEY §3.5 bug note).
+  SURVEY §3.5 bug note).  Val sits well above train here — unlike the
+  reference, where val < train — because every val utterance carries
+  fresh per-syllable random realizations that the 32-dim latent can only
+  partially encode, while train realizations recur every epoch; real
+  speech val data is statistically interchangeable with train, so the
+  reference does not pay this gap.
 - `alignment.png` <- ref `res/alignment.png`: eval-mode attention, diagonal
   = learned monotonic text->mel alignment.
 - `mel_target.png` / `mel_predicted.png`, `gate.png`: teacher-forced eval
@@ -474,11 +496,15 @@ The reference's shipped default is `anneal_function='logistic'`
 
 We verified the collapse experimentally on this framework (loss/KL
 semantics are parity-tested against torch): under run-length-scaled
-logistic schedules the latent dies within ~300 steps of the weight ramp
-on three corpus designs — deterministic audio, per-utterance stochastic
-prosody, and per-syllable stochastic realization (KL 6000 -> ~0; raw
-CSV of the third run + sampled trajectories of all three under
-`kl_forensics/`).  A summed-KL/mean-recon objective at
+logistic schedules the latent dies within a few hundred steps of the
+weight ramp, reproduced on three corpus designs — deterministic audio,
+per-utterance stochastic prosody, and per-syllable stochastic
+realization.  `kl_forensics/metrics_logistic.csv` is the raw log of
+that experiment on the SAME corpus as the headline run (identical
+hparams except the logistic schedule): KL rides at thousands of nats
+while the weight is tiny, then the ramp kills it to ~0 — compare
+`metrics.csv`-derived `kldiv.png` where the 'linear'-lag schedule holds
+a ~95-nat plateau.  A summed-KL/mean-recon objective at
 weight 1 prices one nat at ~2.5x the entire recon loss, so any latent
 use is unprofitable — for the reference's B=6 the ratio is milder but
 the same conclusion holds at their plotted magnitudes.  The curve run
