@@ -194,7 +194,10 @@ def main():
         # re-reads the fused LSTM weights (bf16) and the encoder memory /
         # processed-memory activations; the custom BPTT backward recomputes
         # the forward and streams the same weights (transposed) plus the
-        # in-scan dW accumulators => ~3x the forward traffic.
+        # in-scan dW accumulators => ~3x the forward traffic.  NOTE: this
+        # bounds the pure XLA scan (frames_per_sec_batch64_xla_scan); the
+        # default Pallas training-scan kernels pin the weights in VMEM and
+        # run BELOW this floor (that is the point of the kernels).
         H, E, P, A = (hp.attention_rnn_dim, hp.encoder_embedding_dim,
                       hp.prenet_dim, hp.attention_dim)
         F = hp.attention_location_n_filters
@@ -237,6 +240,32 @@ def main():
             import traceback
 
             traceback.print_exc()
+    # Delta documentation: the same B=64 step with the Pallas training-scan
+    # kernels forced off (pure XLA scan) — the default ("auto") engages them
+    # on this chip, so this quantifies what the VMEM weight-pinning buys.
+    frames_per_sec_b64_xla_scan = None
+    if time.perf_counter() - t_start < float(
+        os.environ.get("BENCH_BUDGET_S", "420")
+    ):
+        try:
+            hp_xla = create_hparams(
+                "batch_size=64,use_pallas_train_scan='off'")
+            step_x = jax.jit(make_train_step(hp_xla))
+            ts_x = create_train_state(jax.random.PRNGKey(0), hp_xla)
+            ts_x, m_x = step_x(ts_x, batch64, jax.random.PRNGKey(0))
+            float(m_x["loss"])
+            t0 = time.perf_counter()
+            for i in range(8):
+                ts_x, m_x = step_x(ts_x, batch64, jax.random.PRNGKey(i))
+            float(m_x["loss"])
+            frames_per_sec_b64_xla_scan = (
+                B2 * T / ((time.perf_counter() - t0) / 8))
+            del ts_x
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+
     del ts64, batch64
 
     # Host input pipeline: featurize->collate throughput on synthetic wavs
@@ -444,6 +473,9 @@ def main():
                 "frames_per_sec_batch64_r2": (
                     round(frames_per_sec_b64_r2, 1)
                     if frames_per_sec_b64_r2 else None),
+                "frames_per_sec_batch64_xla_scan": (
+                    round(frames_per_sec_b64_xla_scan, 1)
+                    if frames_per_sec_b64_xla_scan else None),
                 "input_pipeline_fps_cold": (
                     round(input_cold_fps, 1) if input_cold_fps else None),
                 "input_pipeline_fps_warm": (

@@ -56,8 +56,13 @@ class HParams:
     training_files: str = "filelists/koemo_spk_emo_all_train.txt"
     validation_files: str = "filelists/koemo_spk_emo_all_valid.txt"
     text_cleaners: List[str] = _tuple("korean_cleaners")
-    # accepted-but-unused in the reference too (hparams.py:29); batches are
-    # always length-sorted by collate (data_utils.py:95-97 semantics)
+    # The reference accepts-but-never-uses this (hparams.py:29; its collate
+    # always sorts *within* a batch, data_utils.py:95-97 — so does ours).
+    # Here it enables length-POOLED batching (data/dataset.py::DataLoader):
+    # batches are drawn from mel-length-sorted pools of batch_size*8 shuffled
+    # items, so each batch pads to near its own max length instead of the
+    # corpus max — ~2x fewer padded frames on a wide-spread corpus, and far
+    # fewer distinct (S, T) bucket shapes for XLA to compile.
     sort_by_length: bool = False
 
     ################################
@@ -173,6 +178,18 @@ class HParams:
     # Hand-written BPTT for the decoder scan (models/decoder_bptt.py):
     # ~1.3x faster training than autodiff, gradient-identical (tests/test_bptt).
     use_custom_bptt: bool = True
+    # Pallas training-scan kernels (ops/pallas/teacher_fwd.py): run the
+    # decoder's teacher-forced forward AND recompute-backward each as one
+    # kernel with the LSTM/attention weights pinned in VMEM across steps —
+    # removes the per-step weight re-stream that makes the XLA scan
+    # HBM-bound (B=64/T=512: 106.5 -> 88.5 ms measured, +20%; r=2:
+    # 71 -> 59 ms).  "auto" enables BOTH kernels (the fwd-only/bwd-only
+    # splits measure slower) on a TPU backend at the kernel-validated
+    # geometry (large per-device B*S, pinned buffers in VMEM budget);
+    # under a dp mesh they run per-device via shard_map (tp=1 only).
+    # "on"/"off" force.  T2V_PALLAS_FWD/BWD env vars override for
+    # bisection.
+    use_pallas_train_scan: str = "auto"
     # Compute dtype inside the decoder recurrence.  "auto" (default) picks
     # per measured v5e regimes: compute_dtype (bf16) streams for large B*S
     # scans (HBM-bound), fp32 for small ones (latency-bound, where the casts
@@ -309,6 +326,11 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
     if hp.n_frames_per_step < 1:
         raise ValueError(
             f"n_frames_per_step={hp.n_frames_per_step} must be >= 1"
+        )
+    if hp.use_pallas_train_scan not in ("auto", "on", "off"):
+        raise ValueError(
+            f"use_pallas_train_scan={hp.use_pallas_train_scan!r} must be "
+            "'auto', 'on', or 'off'"
         )
     # ref-encoder conv geometry is accepted for config-surface parity but
     # fixed at the reference values (3x3, stride 2, pad 1 — modules.py:56-60)

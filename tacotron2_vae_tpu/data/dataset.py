@@ -218,18 +218,20 @@ class TextMelDataset:
                     pass  # read-only corpus: cache is best-effort
         return written
 
-    def max_lengths(self) -> tuple[int, int]:
-        """(max_text_len, max_mel_frames) over the dataset from cheap
-        metadata only — token counts, and wav sample counts from the file
-        header (mel frames = samples // hop + 1, dsp/stft.py framing) or the
-        .npy header.  Multi-host training pads every batch to these fixed
-        shapes so all hosts produce identical global array shapes."""
-        max_s = max(len(self.get_text(e[1])) for e in self.entries)
+    def mel_lengths(self) -> np.ndarray:
+        """Per-entry mel frame counts from cheap metadata only — wav sample
+        counts from the file header (mel frames = samples // hop + 1,
+        dsp/stft.py framing) or the .npy header; no decode, no STFT.
+        Computed once and memoized (used by length-pooled batching and
+        ``max_lengths``)."""
+        cached = getattr(self, "_mel_lengths", None)
+        if cached is not None:
+            return cached
         if self.load_mel_from_disk:
-            max_t = max(
+            lens = [
                 int(np.load(e[0], mmap_mode="r").shape[1])
                 for e in self.entries
-            )
+            ]
         else:
             import wave
 
@@ -237,8 +239,17 @@ class TextMelDataset:
                 with wave.open(path, "rb") as w:
                     return w.getnframes() // self.hp.hop_length + 1
 
-            max_t = max(frames(e[0]) for e in self.entries)
-        return max_s, max_t
+            lens = [frames(e[0]) for e in self.entries]
+        self._mel_lengths = np.asarray(lens, np.int64)
+        return self._mel_lengths
+
+    def max_lengths(self) -> tuple[int, int]:
+        """(max_text_len, max_mel_frames) over the dataset from cheap
+        metadata only — token counts plus ``mel_lengths``.  Multi-host
+        training pads every batch to these fixed shapes so all hosts
+        produce identical global array shapes."""
+        max_s = max(len(self.get_text(e[1])) for e in self.entries)
+        return max_s, int(self.mel_lengths().max())
 
     def get_onehot(self, index: str, n: int) -> np.ndarray:
         v = np.zeros(n, np.float32)
@@ -363,12 +374,33 @@ class DataLoader:
             rng = np.random.RandomState(self.seed + epoch_idx)
             rng.shuffle(idx)
         idx = idx[self.rank :: self.world]
+        if getattr(self.hp, "sort_by_length", False):
+            # Length-pooled batching (the reference defines this hparam but
+            # never uses it, hparams.py:29 — here it is a real TPU feature):
+            # within pools of ``batch_size * 8`` shuffled items, sort by
+            # cheap-metadata mel length so each batch pads to near its own
+            # max instead of the corpus max.  On a corpus with a 100-1000
+            # frame spread this roughly halves padded-frame waste AND
+            # concentrates batches into far fewer (S, T) bucket shapes
+            # (= fewer XLA compiles).  Pool-local sort keeps batches
+            # stochastic across epochs; batch order is re-shuffled so the
+            # model never sees a short->long curriculum.  Sharding happens
+            # BEFORE pooling, so per-host disjointness is unchanged.
+            mel_lens = self.ds.mel_lengths()
+            pool = self.batch_size * 8
+            parts = [
+                p[np.argsort(mel_lens[p], kind="stable")]
+                for p in (idx[i : i + pool] for i in range(0, len(idx), pool))
+            ]
+            idx = np.concatenate(parts) if parts else idx
         nb = len(idx) // self.batch_size if self.drop_last else len(self)
         chunks = [
             idx[b * self.batch_size : (b + 1) * self.batch_size]
             for b in range(nb)
         ]
         chunks = [c for c in chunks if len(c)]
+        if getattr(self.hp, "sort_by_length", False) and self.shuffle:
+            rng.shuffle(chunks)
         if self.num_workers > 1 and len(chunks) > 1:
             from .prefetch import prefetch_map
 

@@ -466,12 +466,14 @@ def _bwd_kernel(
     dctx_prev = dx_att[:, P:P + E]
     dh_att_prev = dx_att[:, P + E:]
 
-    # ---- outputs ----
-    dg_att_ref[0] = dg_att
-    dg_dec_ref[0] = dg_dec
-    dpn_ref[0] = dpn
-    dctx_tot_ref[0] = dctx
-    dta_ref[0] = dta
+    # ---- outputs ---- (fat streams are declared in the stream dtype —
+    # bf16 under compute_dtype=bfloat16 — so cast on store; the f32 refs
+    # make these casts no-ops)
+    dg_att_ref[0] = dg_att.astype(dg_att_ref.dtype)
+    dg_dec_ref[0] = dg_dec.astype(dg_dec_ref.dtype)
+    dpn_ref[0] = dpn.astype(dpn_ref.dtype)
+    dctx_tot_ref[0] = dctx.astype(dctx_tot_ref.dtype)
+    dta_ref[0] = dta.astype(dta_ref.dtype)
 
     # ---- update carries ----
     s_dh_att[:] = dh_att_prev

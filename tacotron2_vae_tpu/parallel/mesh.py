@@ -235,6 +235,7 @@ def make_parallel_train_step(hp, mesh: Mesh, learning_rate=None):
     The returned function takes (TrainState, batch-dict, rng) exactly like
     the single-chip step; XLA/GSPMD handles all collectives.
     """
+    from ..models import decoder_bptt
     from ..training.train_state import make_train_step
 
     step_fn = make_train_step(hp, learning_rate)
@@ -246,6 +247,10 @@ def make_parallel_train_step(hp, mesh: Mesh, learning_rate=None):
             )
             for k, v in batch.items()
         }
-        return step_fn(ts, batch, rng)
+        # Trace-time scope: lets the decoder route its Pallas training-scan
+        # kernels through shard_map over 'data' (GSPMD can't partition a
+        # Mosaic kernel) instead of falling back to the XLA scan.
+        with decoder_bptt.dp_mesh_scope(mesh):
+            return step_fn(ts, batch, rng)
 
     return jax.jit(wrapped, donate_argnums=(0,))

@@ -308,3 +308,91 @@ def test_pallas_bwd_matches_autodiff(train):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=2e-4
         )
+
+
+@pytest.mark.parametrize("which", ["fwd", "bwd", "both"])
+def test_pallas_kernels_bf16_stream_dtype(which):
+    """bf16 compute_dtype variant of the Pallas kernel parity tests.
+
+    Regression: the backward kernel's fat output streams are declared in
+    the stream dtype, so under compute_dtype='bfloat16' the kernel must
+    cast on store — storing f32 into a bf16 ref is a trace-time error the
+    f32-only tests never hit (it aborted the fwd+bwd variant at B=64 on
+    TPU).  Gradients are compared against autodiff of the XLA path run at
+    the SAME bf16 compute dtype, with bf16-appropriate tolerances."""
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(True)
+    cfg = cfg._replace(compute_dtype="bfloat16")
+    cfg_p = cfg._replace(
+        use_pallas_fwd=which in ("fwd", "both"),
+        use_pallas_bwd=which in ("bwd", "both"),
+        pallas_interpret=True,
+    )
+
+    def make_loss(c):
+        def loss(scan_params, prenet_seq, memory, pmem):
+            h, _, w = bptt.scan_core(
+                scan_params, prenet_seq, memory, pmem, add_mask, masks, c
+            )
+            return jnp.sum(h ** 2) + jnp.sum(w ** 3)
+        return loss
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    v1, g1 = jax.value_and_grad(make_loss(cfg_p), argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(make_loss(cfg), argnums=(0, 1, 2, 3))(*args)
+    assert np.isfinite(float(v1)) and abs(float(v1) - float(v2)) < 2e-2 * (
+        1.0 + abs(float(v2)))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.all(np.isfinite(a))
+        scale = max(1e-3, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a / scale, b / scale, atol=4e-2)
+
+
+def test_pallas_train_scan_resolver(monkeypatch):
+    """hp.use_pallas_train_scan: 'on'/'off' force; 'auto' requires a TPU
+    backend, the large-scan regime, and a pinned-VMEM estimate in budget;
+    T2V_PALLAS_FWD/BWD env vars override the resolved value."""
+    hp = create_hparams()  # reference dims
+
+    assert bptt.pallas_train_scan_enabled(hp.replace(
+        use_pallas_train_scan="on"), 2, 9)
+    assert not bptt.pallas_train_scan_enabled(hp.replace(
+        use_pallas_train_scan="off"), 64, 128)
+
+    # 'auto' off-TPU (this CI runs on CPU) -> False even at good geometry
+    auto = hp.replace(use_pallas_train_scan="auto")
+    expected = jax.default_backend() == "tpu"
+    assert bptt.pallas_train_scan_enabled(auto, 64, 128) is expected
+
+    # pretend single-chip TPU: geometry gates
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    assert bptt.pallas_train_scan_enabled(auto, 64, 128)       # validated geo
+    assert not bptt.pallas_train_scan_enabled(auto, 4, 64)     # small B*S
+    assert not bptt.pallas_train_scan_enabled(auto, 64, 1024)  # S^2 VMEM blow
+    # fp32 streams double the pin; the estimate must account for itemsize
+    assert (bptt._pallas_vmem_estimate(hp, 64, 128, 4)
+            > 1.7 * bptt._pallas_vmem_estimate(hp, 64, 128, 2))
+
+    # env overrides win in both directions
+    monkeypatch.setenv("T2V_PALLAS_FWD", "0")
+    assert not bptt._env_flag("T2V_PALLAS_FWD", True)
+    monkeypatch.setenv("T2V_PALLAS_FWD", "1")
+    assert bptt._env_flag("T2V_PALLAS_FWD", False)
+    monkeypatch.delenv("T2V_PALLAS_FWD")
+    assert bptt._env_flag("T2V_PALLAS_FWD", True)
+
+
+def test_use_pallas_train_scan_validation():
+    with pytest.raises(ValueError, match="use_pallas_train_scan"):
+        create_hparams("use_pallas_train_scan='maybe'")
+
+
+def test_pallas_auto_off_multichip(monkeypatch):
+    """GSPMD cannot partition a Mosaic kernel — 'auto' must stay off when
+    more than one device would participate (multi-chip uses the XLA scan)."""
+    hp = create_hparams().replace(use_pallas_train_scan="auto")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
+    assert not bptt.pallas_train_scan_enabled(hp, 64, 128)

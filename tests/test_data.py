@@ -327,3 +327,77 @@ def test_end_to_end_train_and_resume(hp, tmp_path):
     a = np.asarray(jax.device_get(ts.params)["decoder"]["proj"]["w"])
     b = np.asarray(ts2.params["decoder"]["proj"]["w"])
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.fixture(scope="module")
+def npy_corpus(tmp_path_factory):
+    """64 entries with widely-spread mel lengths (60..627 frames) as
+    pre-featurized .npy mels (load_mel_from_disk path, data_utils.py:53-57)
+    — exercises length-pooled batching without any STFT cost."""
+    d = tmp_path_factory.mktemp("npy_corpus")
+    rng = np.random.RandomState(7)
+    lines = []
+    for i in range(64):
+        T = 60 + 9 * i
+        mel = (rng.randn(80, T) * 0.3).astype(np.float32)
+        path = os.path.join(str(d), f"m{i:02d}.npy")
+        np.save(path, mel)
+        lines.append(f"{path}|{TEXTS[i % 4]}|0|{i % 4}")
+    filelist = os.path.join(str(d), "train.txt")
+    with open(filelist, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return filelist
+
+
+def test_sort_by_length_pooled_batching(npy_corpus):
+    hp = create_hparams(TINY).replace(
+        training_files=npy_corpus, validation_files=npy_corpus,
+        load_mel_from_disk=True, sort_by_length=True,
+    )
+    hp_off = hp.replace(sort_by_length=False)
+    ds = TextMelDataset(npy_corpus, hp, shuffle=False)
+
+    def epoch_stats(hp_, epoch):
+        dl = DataLoader(ds, 8, hp_, shuffle=True, drop_last=True,
+                        num_workers=1)
+        padded = real = 0
+        seen = []
+        for b in dl.epoch(epoch):
+            padded += b.mel.shape[0] * b.mel.shape[2]
+            real += int(b.output_lengths.sum())
+            seen.append(np.sort(b.output_lengths))
+        return padded, real, seen
+
+    pad_on, real_on, seen_on = epoch_stats(hp, 0)
+    pad_off, real_off, seen_off = epoch_stats(hp_off, 0)
+    # identical item coverage either way (same shuffle, pool-local reorder)
+    assert real_on == real_off
+    assert sorted(np.concatenate(seen_on).tolist()) == sorted(
+        np.concatenate(seen_off).tolist())
+    # pooling must cut padded frames meaningfully on a 10x length spread
+    assert pad_on < 0.75 * pad_off, (pad_on, pad_off)
+    # deterministic: same epoch twice -> identical batch sequence
+    again = epoch_stats(hp, 0)[2]
+    assert all(np.array_equal(a, b) for a, b in zip(seen_on, again))
+    # different epoch -> different batch composition (still stochastic)
+    other = epoch_stats(hp, 1)[2]
+    assert any(not np.array_equal(a, b) for a, b in zip(seen_on, other))
+
+
+def test_sort_by_length_shard_disjointness(npy_corpus):
+    hp = create_hparams(TINY).replace(
+        training_files=npy_corpus, validation_files=npy_corpus,
+        load_mel_from_disk=True, sort_by_length=True,
+    )
+    ds = TextMelDataset(npy_corpus, hp, shuffle=False)
+    per_host = []
+    for rank in range(2):
+        dl = DataLoader(ds, 4, hp, shuffle=True, drop_last=True,
+                        shard=(rank, 2), num_workers=1)
+        lens = []
+        for b in dl.epoch(3):
+            lens.extend(b.output_lengths.tolist())
+        per_host.append(lens)
+    # all 64 distinct lengths covered exactly once across the two hosts
+    union = sorted(per_host[0] + per_host[1])
+    assert union == sorted(60 + 9 * i for i in range(64))

@@ -224,6 +224,42 @@ class TestParallel:
         b = np.asarray(ts2.params["decoder"]["proj"]["w"])
         np.testing.assert_allclose(a, b, atol=1e-4)  # reduction-order noise
 
+    def test_dp8_pallas_shard_map_matches_single_chip(self, hp, monkeypatch):
+        """The Pallas training-scan kernels under a dp=8 mesh route through
+        shard_map over 'data' (GSPMD can't partition a Mosaic kernel) —
+        loss and updated params must match the single-device XLA-scan step.
+        Covers: per-device kernel batch, replicated-weight grad psum from
+        shard_map's transpose, mask/batch in_specs."""
+        from tacotron2_vae_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_batch,
+            shard_train_state,
+        )
+
+        monkeypatch.setenv("T2V_PALLAS_INTERPRET", "1")
+        batch = _batch(hp, B=8)
+        rng = jax.random.PRNGKey(7)
+
+        hp_off = hp.replace(use_pallas_train_scan="off")
+        ts1 = create_train_state(jax.random.PRNGKey(0), hp_off)
+        step1 = jax.jit(make_train_step(hp_off))
+        ts1, m1 = step1(ts1, batch, rng)
+
+        hp_on = hp.replace(use_pallas_train_scan="on")
+        mesh = make_mesh(data=8, model=1)
+        ts2 = create_train_state(jax.random.PRNGKey(0), hp_on)
+        ts2 = shard_train_state(ts2, mesh)
+        step2 = make_parallel_train_step(hp_on, mesh)
+        ts2, m2 = step2(ts2, shard_batch(batch, mesh), rng)
+
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+        for name in ("proj", "attention_rnn"):
+            key = "w" if name == "proj" else "wi"
+            a = np.asarray(ts1.params["decoder"][name][key])
+            b = np.asarray(ts2.params["decoder"][name][key])
+            np.testing.assert_allclose(a, b, atol=2e-4)
+
     def test_tp2_matches_single_chip(self, hp):
         """Tensor parallelism (model=2) must be numerically invisible: same
         loss and same updated params as the single-device step (reference

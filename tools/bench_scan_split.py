@@ -83,7 +83,8 @@ def main():
     def fwd_loss(params, model_state, batch, rng):
         out, _ = tacotron2.forward(params, model_state, batch, hp,
                                    train=True, rng=rng)
-        total, _ = tacotron2_vae_loss(out, batch, hp, step=jnp.int32(1000))
+        total, _ = tacotron2_vae_loss(out, batch["mel"], batch["gate"],
+                                      jnp.int32(1000), hp)
         return total
 
     t_fwd = timeit(lambda: fwd_loss(ts.params, ts.model_state, batch,
@@ -95,9 +96,13 @@ def main():
         def f(p):
             out, _ = tacotron2.forward(p, model_state, batch, hp,
                                        train=True, rng=rng)
-            total, _ = tacotron2_vae_loss(out, batch, hp, step=jnp.int32(1000))
+            total, _ = tacotron2_vae_loss(out, batch["mel"], batch["gate"],
+                                          jnp.int32(1000), hp)
             return total
-        return jax.value_and_grad(f)(params)[0]
+        # Return value + a grad contraction: returning only the value lets
+        # XLA dead-code-eliminate the entire backward pass.
+        v, g = jax.value_and_grad(f)(params)
+        return v + sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
 
     t_vg = timeit(lambda: vgrad(ts.params, ts.model_state, batch,
                                 jax.random.PRNGKey(0)))
