@@ -39,6 +39,13 @@ def main():
     )
 
     t_start = time.perf_counter()
+
+    def mark(phase):
+        # stderr progress markers (stdout stays the single JSON line):
+        # lets an external timeout be attributed to a phase.
+        print(f"[bench +{time.perf_counter() - t_start:.0f}s] {phase}",
+              file=sys.stderr, flush=True)
+
     # Flagship config, reference-recommended batch size (README.md:53).
     B, S, T = 6, 128, 512
     hp = create_hparams("batch_size=6")
@@ -58,6 +65,7 @@ def main():
     }
     batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
 
+    mark("b6_compile")
     ts = create_train_state(jax.random.PRNGKey(0), hp)
     # NOTE: no donate_argnums and no block_until_ready — both misbehave
     # through the axon remote-TPU tunnel (block_until_ready returns before
@@ -98,6 +106,7 @@ def main():
     # AOT-compile the B=64 step ONCE: the same executable serves the timing
     # loop and the cost analysis (a second .lower().compile() costs minutes
     # through the remote-compile tunnel and used to eat the soft budget).
+    mark("b64_compile")
     ts64 = create_train_state(jax.random.PRNGKey(0), hp)
     compiled64 = step.lower(ts64, batch64, jax.random.PRNGKey(0)).compile()
     ts64, m64 = compiled64(ts64, batch64, jax.random.PRNGKey(0))
@@ -139,6 +148,7 @@ def main():
     # fixed ~25 ms dispatch+sync cost through the tunnel; a one-point
     # measurement at K=32 still reads only ~60-90 TFLOP/s).  Slope-based:
     # 186.8 bf16 TFLOP/s (95% of the v5e 197 TF datasheet), 649 GB/s HBM.
+    mark("device_probes")
     matmul_tflops = hbm_gbps = None
     mfu_envelope = scan_roofline_ms = scan_stream_gb = None
     try:
@@ -220,6 +230,7 @@ def main():
     # Capability extension: n_frames_per_step=2 (r>1 is unsupported in the
     # reference, hparams.py:87) halves the sequential scan length — the
     # dominant step cost — for a large opt-in throughput win.
+    mark("r2_train")
     frames_per_sec_b64_r2 = None
     if time.perf_counter() - t_start < float(
         os.environ.get("BENCH_BUDGET_S", "420")
@@ -243,6 +254,7 @@ def main():
     # Delta documentation: the same B=64 step with the Pallas training-scan
     # kernels forced off (pure XLA scan) — the default ("auto") engages them
     # on this chip, so this quantifies what the VMEM weight-pinning buys.
+    mark("xla_scan_variant")
     frames_per_sec_b64_xla_scan = None
     if time.perf_counter() - t_start < float(
         os.environ.get("BENCH_BUDGET_S", "420")
@@ -272,6 +284,7 @@ def main():
     # (4 distinct lengths => 4 STFT compiles), cold (wav decode + STFT +
     # cache write) then warm (np.load from the write-once mel cache).  The
     # pipeline must outrun the device step or the chip starves.
+    mark("input_pipeline")
     input_cold_fps = input_warm_fps = None
     try:
         import tempfile
@@ -327,6 +340,7 @@ def main():
         traceback.print_exc()
 
     # Secondary: autoregressive inference RTF (mel frames vs realtime audio).
+    mark("serving_rtf")
     params, state = ts.params, ts.model_state
     text = jax.numpy.asarray(
         rng.randint(2, hp.n_symbols, size=(1, 64)).astype(np.int32)
@@ -371,6 +385,7 @@ def main():
     # (r>1 is unsupported in the reference, hparams.py:87).  600 decoder
     # steps at r=2 = 1200 frames = 19.2 s of audio.  Measures both the XLA
     # while_loop path and the fused Pallas kernel (r-generic since round 3).
+    mark("serving_rtf_r2")
     rtf_r2 = rtf_r2_xla = None
     if time.perf_counter() - t_start < budget:
         try:
@@ -413,6 +428,7 @@ def main():
 
     # WaveGlow vocoder TRAINING throughput (the reference never trains its
     # vocoder; full NVIDIA-size config: 12 flows x 8 layers x 256 ch).
+    mark("waveglow_train")
     wg_samples_per_sec = None
     if time.perf_counter() - t_start < budget:
         try:
@@ -446,6 +462,7 @@ def main():
 
             traceback.print_exc()
 
+    mark("emit")
     print(
         json.dumps(
             {
