@@ -365,8 +365,8 @@ def _bwd_rule(cfg, saved, dys):
         dropout_on = cfg.train and (
             cfg.n_half_keep_att < 1.0 or cfg.n_half_keep_dec < 1.0
         )
-        (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dtanh_f32,
-         dv_k, dWq) = bwd_pallas(
+        (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dta_flat,
+         dv_k, dWq, dpmem) = bwd_pallas(
             scan_params, memory, pmem, drop_masks, dys,
             (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq,
              h_att_seq),
@@ -375,27 +375,30 @@ def _bwd_rule(cfg, saved, dys):
             dtype_name=cfg.compute_dtype,
         )
         dv = dv_k.T  # (A, 1)
-        dtanh_seq = dtanh_f32
-        dloc_seq = jnp.einsum(
-            "tbsa,fa->tbsf", dtanh_seq.astype(sdt),
-            _cast_w(scan_params["loc_dense_w"], cfg),
-            preferred_element_type=jnp.float32,
-        ).astype(sdt)
-        # loc recomputed batch-parallel over T*B (no sequential dependence)
-        loc_seq_r = _loc_conv(
+        # dWld / dloc / dWloc contract the 1 GB dta stream over the
+        # FLATTENED (T*B*S) axis as plain 2-D matmuls — the 4-D einsum
+        # forms made XLA materialize a layout copy of the whole stream
+        # (profiled ~3.3 ms/step at B=64).
+        A_dim = scan_params["query_w"].shape[1]
+        dta2 = dta_flat.reshape(T * B * S, A_dim)
+        loc2 = _loc_conv(
             w_prev_seq.reshape(T * B, S).astype(sdt),
             w_cum_prev_seq.reshape(T * B, S).astype(sdt),
             _cast_w(scan_params["loc_w"], cfg),
-        ).reshape(T, B, S, -1)
-        dWld = jnp.einsum(
-            "tbsf,tbsa->fa", loc_seq_r, dtanh_seq.astype(sdt),
+        ).reshape(T * B * S, -1)
+        dWld = jax.lax.dot_general(
+            loc2.astype(sdt), dta2.astype(sdt), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        dpmem = jnp.sum(dtanh_seq, axis=0, dtype=jnp.float32)
+        )  # (F, A)
+        dloc2 = jax.lax.dot_general(
+            dta2.astype(sdt), _cast_w(scan_params["loc_dense_w"], cfg),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(sdt)  # (N, F) = dta @ loc_dense^T
         dWloc = _loc_conv_weight_grad(
-            w_prev_seq.reshape(T * B, S).astype(dloc_seq.dtype),
-            w_cum_prev_seq.reshape(T * B, S).astype(dloc_seq.dtype),
-            dloc_seq.reshape(T * B, S, -1), K,
+            w_prev_seq.reshape(T * B, S).astype(dloc2.dtype),
+            w_cum_prev_seq.reshape(T * B, S).astype(dloc2.dtype),
+            dloc2.reshape(T * B, S, -1), K,
         )
         x_att_seq = jnp.concatenate(
             [prenet_seq.astype(sdt), ctx_prev_seq.astype(sdt),

@@ -52,19 +52,24 @@ def build_loc_band(loc_w: np.ndarray, loc_dense_w: np.ndarray, S: int,
     """
     K, C, F = loc_w.shape
     L = S + K - 1
-    c_ix, s_ix, k_ix, f_ix = np.meshgrid(
-        np.arange(C), np.arange(S), np.arange(K), np.arange(F), indexing="ij"
-    )
-    rows = (c_ix * L + s_ix + k_ix).reshape(-1)
-    cols = (s_ix * F + f_ix).reshape(-1)
-    vals = loc_w[k_ix.reshape(-1), c_ix.reshape(-1), f_ix.reshape(-1)]
-    band = jnp.zeros((C * L, S * F), jnp.float32).at[rows, cols].set(vals)
-    if not fold_dense:
-        return band
-    A = loc_dense_w.shape[1]
-    return (
-        band.reshape(C * L, S, F) @ loc_dense_w.astype(jnp.float32)
-    ).reshape(C * L, S * A)
+    # band[c*L + u, s*F + f] = loc_w[u - s, c, f] for 0 <= u-s < K.
+    # Built as one-hot-selection MATMULS, not a scatter: the scatter form
+    # (.at[rows, cols].set) runs on device every train step (loc_w is a
+    # traced param) and profiled at ~4.3 ms/step at B=64 — the selection
+    # tensor is iota-comparison (constant-foldable) and the contraction
+    # over K is trivial MXU work.
+    u_ix = jax.lax.broadcasted_iota(jnp.int32, (L, S, K), 0)
+    s_ix = jax.lax.broadcasted_iota(jnp.int32, (L, S, K), 1)
+    k_ix = jax.lax.broadcasted_iota(jnp.int32, (L, S, K), 2)
+    sel = (u_ix - s_ix == k_ix).astype(jnp.float32).reshape(L * S, K)
+    w2 = loc_w.astype(jnp.float32)  # (K, C, F)
+    if fold_dense:
+        w2 = jnp.einsum("kcf,fa->kca", w2, loc_dense_w.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    cols = w2.shape[2]
+    out = jnp.einsum("nk,kcf->cnf", sel, w2,
+                     preferred_element_type=jnp.float32)  # (C, L*S, cols)
+    return out.reshape(C * L, S * cols)
 
 
 def _kernel(
@@ -170,12 +175,14 @@ def _kernel(
         h_dec_new = h_dec_new * m3_ref[0]
         c_dec_new = c_dec_new * m4_ref[0]
 
-    # outputs
+    # outputs (the fat gate streams are declared in the stream dtype — the
+    # backward consumes them via .astype(f32), so f32 storage only doubles
+    # their HBM traffic and forces a convert pass; cast on store instead)
     h_dec_ref[0] = h_dec_new
     ctx_ref[0] = ctx_new
     w_ref[0] = w
-    g_att_ref[0] = g_att
-    g_dec_ref[0] = g_dec
+    g_att_ref[0] = g_att.astype(g_att_ref.dtype)
+    g_dec_ref[0] = g_dec.astype(g_dec_ref.dtype)
     h_att_ref[0] = h_att_new
     c_att_ref[0] = c_att_new
     c_dec_ref[0] = c_dec_new
@@ -251,9 +258,11 @@ def fwd_pallas(scan_params, prenet_seq, memory, pmem, add_mask, drop_masks,
         pl.BlockSpec((1, B, d), step_block, memory_space=pltpu.VMEM)
         for d in (H, E, S, 4 * H, 4 * H, H, H, H)
     )
+    # gate streams (indices 3, 4) ride in the stream dtype: the backward
+    # reads them via .astype(f32), so f32 storage is pure extra HBM traffic
     out_shape = tuple(
-        jax.ShapeDtypeStruct((T, B, d), jnp.float32)
-        for d in (H, E, S, 4 * H, 4 * H, H, H, H)
+        jax.ShapeDtypeStruct((T, B, d), wdt if j in (3, 4) else jnp.float32)
+        for j, d in enumerate((H, E, S, 4 * H, 4 * H, H, H, H))
     )
 
     outs = pl.pallas_call(
@@ -318,9 +327,10 @@ def _bwd_kernel(
     dg_att_ref, dg_dec_ref, dpn_ref, dctx_tot_ref, dta_ref,
     dv_ref,    # (1, A) f32, written at the last grid step
     dwq_ref,   # (H, A) f32, written at the last grid step
+    dpm_ref,   # (B, S*A) f32, written at the last grid step: sum_t dta
     # scratch carries
     s_dh_att, s_dc_att, s_dh_dec, s_dc_dec, s_dw_prev, s_dwcum, s_dctx,
-    s_dv, s_dwq,
+    s_dv, s_dwq, s_dpm,
 ):
     i = pl.program_id(0)
     T = pl.num_programs(0)
@@ -346,6 +356,7 @@ def _bwd_kernel(
         s_dctx[:] = jnp.zeros_like(s_dctx)
         s_dv[:] = jnp.zeros_like(s_dv)
         s_dwq[:] = jnp.zeros_like(s_dwq)
+        s_dpm[:] = jnp.zeros_like(s_dpm)
 
     def split4(g):
         return g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
@@ -473,7 +484,18 @@ def _bwd_kernel(
     dg_dec_ref[0] = dg_dec.astype(dg_dec_ref.dtype)
     dpn_ref[0] = dpn.astype(dpn_ref.dtype)
     dctx_tot_ref[0] = dctx.astype(dctx_tot_ref.dtype)
-    dta_ref[0] = dta.astype(dta_ref.dtype)
+    # dta ships in (B*S, A) row layout — the caller's dWld/dloc matmuls
+    # contract over the flattened (T*B*S) axis, and emitting (B, S*A)
+    # rows forced XLA into a physical retile of the 1 GB stream
+    # (profiled 3.8 ms/step at B=64).  (1, S*A) -> (S, A) is the one
+    # Mosaic-legal reshape; the B-loop unrolls to static row stores.
+    dta_c = dta.astype(dta_ref.dtype)
+    for b in range(B):
+        dta_ref[0, b * S:(b + 1) * S, :] = dta_c[b:b + 1].reshape(
+            S, dta_c.shape[1] // S)
+    # dpmem = sum_t dta accumulated in VMEM: saves the post-kernel 1 GB
+    # re-read of the dta stream that a separate reduce costs
+    s_dpm[:] = s_dpm[:] + dta
 
     # ---- update carries ----
     s_dh_att[:] = dh_att_prev
@@ -488,6 +510,7 @@ def _bwd_kernel(
     def _finalize():
         dv_ref[:] = s_dv[:]
         dwq_ref[:] = s_dwq[:]
+        dpm_ref[:] = s_dpm[:]
 
 
 @functools.partial(
@@ -503,7 +526,7 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
     reverse scan produces — (dg_att, dg_dec, dpn, dctx_tot, dtanh) plus the
     in-kernel (dv, dWq) accumulators — so decoder_bptt._bwd_rule's post-scan
     machinery (big dW matmuls, dWloc/dWld/dpmem/dmemory reductions) is
-    unchanged.  dtanh is returned flattened (T, B, S*A); the caller
+    unchanged.  dtanh is returned as (T, B*S, A); the caller
     reshapes (free in XLA).
     """
     dh_dec_seq, dctx_seq, dw_seq = dys
@@ -552,9 +575,10 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
     )
     out_specs = (
         step_in(4 * H), step_in(4 * H), step_in(P), step_in(E),
-        step_in(S * A),
+        pl.BlockSpec((1, B * S, A), rev, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, S * A), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     sdt = wdt  # stream dtype for the fat outputs (matches the XLA path)
     out_shape = (
@@ -562,9 +586,10 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
         jax.ShapeDtypeStruct((T, B, 4 * H), sdt),
         jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         jax.ShapeDtypeStruct((T, B, E), jnp.float32),
-        jax.ShapeDtypeStruct((T, B, S * A), sdt),
+        jax.ShapeDtypeStruct((T, B * S, A), sdt),
         jax.ShapeDtypeStruct((1, A), jnp.float32),
         jax.ShapeDtypeStruct((H, A), jnp.float32),
+        jax.ShapeDtypeStruct((B, S * A), jnp.float32),
     )
 
     outs = pl.pallas_call(
@@ -583,6 +608,7 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
             pltpu.VMEM((B, E), jnp.float32),  # dctx
             pltpu.VMEM((1, A), jnp.float32),  # dv acc
             pltpu.VMEM((H, A), jnp.float32),  # dWq acc
+            pltpu.VMEM((B, S * A), jnp.float32),  # dpmem acc
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
@@ -600,6 +626,9 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
         m1, m2, m3, m4,
     )
     (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dta_seq,
-     dv, dwq) = outs
+     dv, dwq, dpm) = outs
+    # dta_seq ships (T, B*S, A): merging the two leading row dims to the
+    # caller's (T*B*S, A) matmul operand is layout-free, unlike the
+    # (B, S*A) -> (N, A) retile XLA had to copy for.
     return (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
-            dta_seq.reshape(T, B, S, A), dv, dwq)
+            dta_seq, dv, dwq, dpm.reshape(B, S, A))

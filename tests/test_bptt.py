@@ -396,3 +396,31 @@ def test_pallas_auto_off_multichip(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
     assert not bptt.pallas_train_scan_enabled(hp, 64, 128)
+
+
+def test_build_loc_band_matches_scatter_oracle():
+    """The one-hot-matmul band construction equals the direct scatter
+    definition band[c*L + s + k, s*F + f] = loc_w[k, c, f] (both folded
+    and unfolded)."""
+    from tacotron2_vae_tpu.ops.pallas.teacher_fwd import build_loc_band
+
+    rng = np.random.RandomState(0)
+    K, C, F, A, S = 7, 2, 4, 12, 9
+    loc_w = rng.randn(K, C, F).astype(np.float32)
+    dense = rng.randn(F, A).astype(np.float32)
+    L = S + K - 1
+
+    ref = np.zeros((C * L, S * F), np.float32)
+    for c in range(C):
+        for s in range(S):
+            for k in range(K):
+                for f in range(F):
+                    ref[c * L + s + k, s * F + f] = loc_w[k, c, f]
+    got = np.asarray(build_loc_band(jnp.asarray(loc_w), jnp.asarray(dense),
+                                    S, fold_dense=False))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+    ref_fold = (ref.reshape(C * L, S, F) @ dense).reshape(C * L, S * A)
+    got_fold = np.asarray(build_loc_band(jnp.asarray(loc_w),
+                                         jnp.asarray(dense), S))
+    np.testing.assert_allclose(got_fold, ref_fold, atol=1e-5)
