@@ -801,12 +801,16 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     mesh = _DP_TRACE_MESH
     if mesh is not None:
         dp = int(mesh.shape.get("data", 1))
-        tp = int(mesh.shape.get("model", 1))
-        # per-device kernel via shard_map; requires a pure-dp layout (the
-        # scan weights are replicated under tp=1; query_w is tp-sharded
-        # otherwise) and an evenly split batch
+        # Per-device kernel via shard_map over 'data'; the batch must split
+        # evenly.  A tp ('model') axis is fine: the scan weights are
+        # replicated across it (the recurrent cells are deliberately not
+        # tensor-parallel, parallel/mesh.py), so the kernel runs replicated
+        # on model ranks — same compute GSPMD would emit for a
+        # replicated-weight scan — and shard_map's transpose yields exactly
+        # the single-device weight grads (tp=2 parity test-pinned; the tiny
+        # tp-sharded query_w is all-gathered by its P() in_spec).
         pallas_on = (
-            tp == 1 and dp >= 1 and B % dp == 0
+            B % dp == 0
             and pallas_train_scan_enabled(hp, B // dp, S, itemsize,
                                           sharded=True)
         )

@@ -260,6 +260,41 @@ class TestParallel:
             b = np.asarray(ts2.params["decoder"][name][key])
             np.testing.assert_allclose(a, b, atol=2e-4)
 
+    def test_dp4_tp2_pallas_shard_map_matches_single_chip(self, hp,
+                                                          monkeypatch):
+        """Pallas training-scan under a (data=4, model=2) mesh: the kernel
+        runs replicated across the model axis (scan weights are not
+        tensor-parallel) inside shard_map over 'data' — weight grads must
+        still equal the single-device step exactly (no tp-fold
+        double-counting from shard_map's transpose)."""
+        from tacotron2_vae_tpu.parallel import (
+            make_mesh,
+            make_parallel_train_step,
+            shard_batch,
+            shard_train_state,
+        )
+
+        monkeypatch.setenv("T2V_PALLAS_INTERPRET", "1")
+        batch = _batch(hp, B=8)
+        rng = jax.random.PRNGKey(11)
+
+        hp_off = hp.replace(use_pallas_train_scan="off")
+        ts1 = create_train_state(jax.random.PRNGKey(0), hp_off)
+        ts1, m1 = jax.jit(make_train_step(hp_off))(ts1, batch, rng)
+
+        hp_on = hp.replace(use_pallas_train_scan="on")
+        mesh = make_mesh(data=4, model=2)
+        ts2 = create_train_state(jax.random.PRNGKey(0), hp_on)
+        ts2 = shard_train_state(ts2, mesh)
+        step2 = make_parallel_train_step(hp_on, mesh)
+        ts2, m2 = step2(ts2, shard_batch(batch, mesh), rng)
+
+        assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+        for name, key in (("proj", "w"), ("attention_rnn", "wi")):
+            a = np.asarray(ts1.params["decoder"][name][key])
+            b = np.asarray(ts2.params["decoder"][name][key])
+            np.testing.assert_allclose(a, b, atol=2e-4)
+
     def test_tp2_matches_single_chip(self, hp):
         """Tensor parallelism (model=2) must be numerically invisible: same
         loss and same updated params as the single-device step (reference
