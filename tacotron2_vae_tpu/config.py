@@ -182,13 +182,14 @@ class HParams:
     # decoder's teacher-forced forward AND recompute-backward each as one
     # kernel with the LSTM/attention weights pinned in VMEM across steps —
     # removes the per-step weight re-stream that makes the XLA scan
-    # HBM-bound (B=64/T=512: 106.5 -> 88.5 ms measured, +20%; r=2:
-    # 71 -> 59 ms).  "auto" enables BOTH kernels (the fwd-only/bwd-only
-    # splits measure slower) on a TPU backend at the kernel-validated
-    # geometry (large per-device B*S, pinned buffers in VMEM budget);
-    # under a dp mesh they run per-device via shard_map (tp=1 only).
-    # "on"/"off" force.  T2V_PALLAS_FWD/BWD env vars override for
-    # bisection.
+    # HBM-bound (B=64/T=512: 107 -> 79 ms measured, +35%; r=2: 52 ms) AND
+    # the latency-bound small-batch regime (B=1: 36 -> 24 ms, B=6:
+    # 33 -> 28 ms — the weight pin pays at every batch size).  "auto"
+    # enables BOTH kernels (the fwd-only/bwd-only splits measure slower)
+    # on a TPU backend with lane-aligned model dims and pinned buffers in
+    # the VMEM budget; under a (data[, model]) mesh they run per-device
+    # via shard_map.  "on"/"off" force.  T2V_PALLAS_FWD/BWD env vars
+    # override for bisection.
     use_pallas_train_scan: str = "auto"
     # Compute dtype inside the decoder recurrence.  "auto" (default) picks
     # per measured v5e regimes: compute_dtype (bf16) streams for large B*S

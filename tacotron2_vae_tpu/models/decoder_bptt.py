@@ -691,11 +691,13 @@ def pallas_train_scan_enabled(hp, B: int, S: int, itemsize: int = 2,
 
     "auto" turns the fused fwd+bwd Pallas kernels on when they are the
     measured win: a real TPU backend (Mosaic; CPU tests use interpret mode
-    explicitly), the HBM-bound large-scan regime (B*S >= 2048 — same
-    threshold as the recompute heuristic; below it the XLA scan's latency
-    path wins), and a pinned-buffer VMEM estimate comfortably inside the
-    kernel's 120MB budget.  Validated geometry: reference dims at B=64,
-    S=128, T=512 — 89.7ms vs 108.8ms XLA scan (+21%) on v5e.
+    explicitly), Mosaic-friendly model dims (lane-aligned attention/LSTM
+    widths — the reference dims qualify), and a pinned-buffer VMEM
+    estimate comfortably inside the kernel's 120MB budget.  The kernels
+    win at EVERY batch size (v5e, S=128, T=512): B=1 24.0 vs 36.0 ms,
+    B=2 24.5 vs 38.5, B=6 28.1 vs 32.7, B=64 79 vs 107 — pinning the
+    ~36 MB of scan weights in VMEM pays in both the latency-bound and
+    HBM-bound regimes, so there is no batch threshold.
 
     ``sharded=True`` means the caller runs the kernel per-device inside
     shard_map with ``B`` already the per-device batch; plain multi-device
@@ -715,7 +717,11 @@ def pallas_train_scan_enabled(hp, B: int, S: int, itemsize: int = 2,
             return False
     except Exception:  # pragma: no cover - backend probe never fatal
         return False
-    if B * S < 2048:
+    # Mosaic-friendly dims: the kernels lay attention out in (B, S*A) and
+    # pin (·, 4H) weight tiles — lane-misaligned A/H (custom tiny configs)
+    # are untested on hardware, so auto stays conservative there ("on"
+    # still forces, and interpret-mode tests cover odd dims).
+    if hp.attention_dim % 128 != 0 or hp.attention_rnn_dim % 128 != 0:
         return False
     return _pallas_vmem_estimate(hp, B, S, itemsize) <= 100 * 1024 * 1024
 

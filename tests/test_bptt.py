@@ -369,8 +369,12 @@ def test_pallas_train_scan_resolver(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
     assert bptt.pallas_train_scan_enabled(auto, 64, 128)       # validated geo
-    assert not bptt.pallas_train_scan_enabled(auto, 4, 64)     # small B*S
+    assert bptt.pallas_train_scan_enabled(auto, 4, 64)         # small batch
+    assert bptt.pallas_train_scan_enabled(auto, 1, 128)        # B=1 wins too
     assert not bptt.pallas_train_scan_enabled(auto, 64, 1024)  # S^2 VMEM blow
+    # lane-misaligned dims (custom configs) keep auto off
+    tiny_dims = auto.replace(attention_dim=12)
+    assert not bptt.pallas_train_scan_enabled(tiny_dims, 64, 128)
     # fp32 streams double the pin; the estimate must account for itemsize
     assert (bptt._pallas_vmem_estimate(hp, 64, 128, 4)
             > 1.7 * bptt._pallas_vmem_estimate(hp, 64, 128, 2))
