@@ -386,6 +386,12 @@ class DataLoader:
             # stochastic across epochs; batch order is re-shuffled so the
             # model never sees a short->long curriculum.  Sharding happens
             # BEFORE pooling, so per-host disjointness is unchanged.
+            if self.drop_last:
+                # Trim BEFORE pooling: after pooling the tail holds the
+                # last pool's LONGEST items, so a post-pool drop_last cut
+                # would systematically under-train long utterances; cutting
+                # the (shuffled) pre-pool order keeps the drop uniform.
+                idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
             mel_lens = self.ds.mel_lengths()
             pool = self.batch_size * 8
             parts = [

@@ -679,8 +679,12 @@ def _pallas_vmem_estimate(hp, B: int, S: int, itemsize: int = 2) -> int:
         + (P + E + H) * 4 * H            # attn_w
         + (2 * H + E) * 4 * H            # dec_w
         + H * A                          # query_w
+        + S * S * A                      # rep_mat = kron(I_S, ones(1, A))
+        + S * A * A                      # fold_a = kron(ones(S,1), I_A)
+        + B * S * S                      # fold_s = kron(ones(B,1), I_S)
     ) * bf16
     pinned += 4 * B * B * S              # mask_bd (fp32)
+    pinned += 4 * 2 * B * S * A          # dpmem scratch + pinned output (f32)
     pinned += 4 * 7 * B * max(H, S, E)   # fp32 state scratch (upper bound)
     return pinned
 
@@ -805,8 +809,10 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     }
     itemsize = jnp.dtype(dtype).itemsize if dtype is not None else 4
     mesh = _DP_TRACE_MESH
+    mesh_splits = True
     if mesh is not None:
         dp = int(mesh.shape.get("data", 1))
+        mesh_splits = B % dp == 0
         # Per-device kernel via shard_map over 'data'; the batch must split
         # evenly.  A tp ('model') axis is fine: the scan weights are
         # replicated across it (the recurrent cells are deliberately not
@@ -816,20 +822,24 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         # the single-device weight grads (tp=2 parity test-pinned; the tiny
         # tp-sharded query_w is all-gathered by its P() in_spec).
         pallas_on = (
-            B % dp == 0
+            mesh_splits
             and pallas_train_scan_enabled(hp, B // dp, S, itemsize,
                                           sharded=True)
         )
     else:
         pallas_on = pallas_train_scan_enabled(hp, B, S, itemsize)
+    # Under a mesh whose 'data' axis does not divide B, shard_map cannot
+    # split the batch — the kernels are unavailable there, and even the
+    # T2V_PALLAS_* force-flags must not route into a trace-time error.
+    forcible = mesh is None or mesh_splits
     cfg = ScanConfig(
         n_half_keep_att=1.0 - hp.p_attention_dropout,
         n_half_keep_dec=1.0 - hp.p_decoder_dropout,
         train=train,
         compute_dtype=jnp.dtype(dtype).name if dtype is not None else "float32",
-        use_pallas_fwd=_env_flag("T2V_PALLAS_FWD", pallas_on),
-        use_pallas_bwd=_env_flag("T2V_PALLAS_BWD", pallas_on),
-        pallas_interpret=os.environ.get("T2V_PALLAS_INTERPRET", "0") == "1",
+        use_pallas_fwd=forcible and _env_flag("T2V_PALLAS_FWD", pallas_on),
+        use_pallas_bwd=forcible and _env_flag("T2V_PALLAS_BWD", pallas_on),
+        pallas_interpret=_env_flag("T2V_PALLAS_INTERPRET", False),
     )
     if mesh is not None and (cfg.use_pallas_fwd or cfg.use_pallas_bwd):
         h_dec_seq, ctx_seq, w_seq = _shard_mapped_scan_core(mesh, cfg)(

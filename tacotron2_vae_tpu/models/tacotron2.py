@@ -114,13 +114,20 @@ def forward(
 
     if hp.decoder_scan_dtype == "auto":
         # Measured regimes on v5e (see decoder_bptt._recompute_attn): large
-        # B*S scans are HBM-bound and want bf16 streams; small scans are
-        # latency-bound and the casts only add per-step ops.
+        # B*S scans are HBM-bound and want bf16 streams; small XLA scans
+        # are latency-bound and the casts only add per-step ops.  When the
+        # Pallas training-scan kernels will engage, bf16 wins at EVERY
+        # batch size (B=6: 27.5 vs 28.0 ms, B=1: 23.2 vs 24.0) AND halves
+        # the VMEM weight pin, so small batches get bf16 too.
         B, S = batch["text"].shape
-        scan_dtype = (
-            jnp.dtype(hp.compute_dtype)
-            if hp.compute_dtype != "float32" and B * S >= 2048 else None
+        from . import decoder_bptt
+
+        use_bf16 = hp.compute_dtype != "float32" and (
+            B * S >= 2048
+            or (hp.use_custom_bptt
+                and decoder_bptt.pallas_train_scan_enabled(hp, B, S, 2))
         )
+        scan_dtype = jnp.dtype(hp.compute_dtype) if use_bf16 else None
     else:
         scan_dtype = (
             None if hp.decoder_scan_dtype == "float32"

@@ -401,3 +401,30 @@ def test_sort_by_length_shard_disjointness(npy_corpus):
     # all 64 distinct lengths covered exactly once across the two hosts
     union = sorted(per_host[0] + per_host[1])
     assert union == sorted(60 + 9 * i for i in range(64))
+
+
+def test_sort_by_length_drop_last_is_unbiased(npy_corpus):
+    """drop_last under length-pooled batching must drop uniformly-random
+    items, not systematically the longest of the final pool (the trim
+    happens BEFORE pooling, on the shuffled order)."""
+    hp = create_hparams(TINY).replace(
+        training_files=npy_corpus, validation_files=npy_corpus,
+        load_mel_from_disk=True, sort_by_length=True,
+    )
+    ds = TextMelDataset(npy_corpus, hp, shuffle=False)
+    all_lens = set(60 + 9 * i for i in range(64))
+    dropped = []
+    for epoch in range(20):
+        dl = DataLoader(ds, 7, hp, shuffle=True, drop_last=True,
+                        num_workers=1)  # 64 % 7 = 1 item dropped per epoch
+        seen = []
+        for b in dl.epoch(epoch):
+            seen.extend(b.output_lengths.tolist())
+        missing = all_lens - set(seen)
+        assert len(missing) == 1
+        dropped.append(missing.pop())
+    # biased (post-pool) drops always cut the max of an 8-item pool, which
+    # is >= ~400 with overwhelming probability over 20 epochs; uniform
+    # drops hit short items too
+    assert min(dropped) < 400, dropped
+    assert len(set(dropped)) > 3, dropped
