@@ -428,3 +428,16 @@ def test_build_loc_band_matches_scatter_oracle():
     got_fold = np.asarray(build_loc_band(jnp.asarray(loc_w),
                                          jnp.asarray(dense), S))
     np.testing.assert_allclose(got_fold, ref_fold, atol=1e-5)
+
+
+def test_pallas_auto_off_fp16(monkeypatch):
+    """fp16_run streams float16 — unvalidated on the bf16 MXU; auto must
+    keep the Mosaic kernels off there (the XLA scan handles fp16)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    hp = create_hparams().replace(use_pallas_train_scan="auto")
+    assert bptt.pallas_train_scan_enabled(hp, 64, 128)
+    assert not bptt.pallas_train_scan_enabled(
+        hp.replace(fp16_run=True), 64, 128)
+    assert not bptt.pallas_train_scan_enabled(
+        hp.replace(compute_dtype="float16"), 64, 128)
