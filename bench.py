@@ -214,7 +214,8 @@ def main():
         bf2 = 2  # bf16 bytes
         w_bytes = (
             (P + E + H) * 4 * H + (H + E + H) * 4 * H  # fused LSTMs
-            + H * A + 31 * 2 * F + F * A + E * A       # query/loc/memory
+            + H * A + hp.attention_location_kernel_size * 2 * F
+            + F * A + E * A                            # query/loc/memory
         ) * bf2
         act_bytes = (B2 * S * E + B2 * S * A) * bf2    # memory + processed
         per_step = w_bytes + act_bytes

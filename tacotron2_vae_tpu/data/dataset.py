@@ -112,6 +112,19 @@ class TextMelDataset:
             src = "nosrc"
         return f"{audiopath}.{self._cache_tag}.{src}.npy"
 
+    def _evict_stale_caches(self, audiopath: str, keep: str) -> None:
+        """Unlink superseded fingerprint-keyed caches for this wav (same
+        STFT tag, older mtime/size fingerprint) — without this every wav
+        revision leaks a full mel copy beside the corpus."""
+        import glob as _glob
+
+        for old in _glob.glob(f"{audiopath}.{self._cache_tag}.*.npy"):
+            if old != keep and not old.endswith(".tmp.npy"):
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
+
     def get_mel(self, audiopath: str) -> np.ndarray:
         """wav -> (n_mel, T) log-mel; honors load_mel_from_disk (.npy).
 
@@ -142,6 +155,7 @@ class TextMelDataset:
             try:
                 np.save(tmp, mel)  # .npy suffix: np.save won't rename it
                 os.replace(tmp, cache)
+                self._evict_stale_caches(audiopath, cache)
             except OSError:
                 pass  # read-only corpus dir: cache is best-effort
         return mel
@@ -213,6 +227,7 @@ class TextMelDataset:
                 try:
                     np.save(tmp, mel)
                     os.replace(tmp, cache)
+                    self._evict_stale_caches(path, cache)
                     written += 1
                 except OSError:
                     pass  # read-only corpus: cache is best-effort
@@ -374,6 +389,14 @@ class DataLoader:
             rng = np.random.RandomState(self.seed + epoch_idx)
             rng.shuffle(idx)
         idx = idx[self.rank :: self.world]
+        if self.drop_last:
+            # Rank-INVARIANT batch count (len(self), floor(n/world)//bs):
+            # low ranks' strided slices hold one more item when n % world
+            # != 0, and a per-rank len(idx)//bs would have those hosts emit
+            # an extra global step whose collectives hang waiting on the
+            # others.  Trimming here also keeps the drop uniform under
+            # length pooling (the post-pool tail holds the LONGEST items).
+            idx = idx[: len(self) * self.batch_size]
         if getattr(self.hp, "sort_by_length", False):
             # Length-pooled batching (the reference defines this hparam but
             # never uses it, hparams.py:29 — here it is a real TPU feature):
@@ -386,12 +409,6 @@ class DataLoader:
             # stochastic across epochs; batch order is re-shuffled so the
             # model never sees a short->long curriculum.  Sharding happens
             # BEFORE pooling, so per-host disjointness is unchanged.
-            if self.drop_last:
-                # Trim BEFORE pooling: after pooling the tail holds the
-                # last pool's LONGEST items, so a post-pool drop_last cut
-                # would systematically under-train long utterances; cutting
-                # the (shuffled) pre-pool order keeps the drop uniform.
-                idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
             mel_lens = self.ds.mel_lengths()
             pool = self.batch_size * 8
             parts = [
@@ -399,7 +416,7 @@ class DataLoader:
                 for p in (idx[i : i + pool] for i in range(0, len(idx), pool))
             ]
             idx = np.concatenate(parts) if parts else idx
-        nb = len(idx) // self.batch_size if self.drop_last else len(self)
+        nb = len(self)  # rank-invariant in both drop_last modes
         chunks = [
             idx[b * self.batch_size : (b + 1) * self.batch_size]
             for b in range(nb)

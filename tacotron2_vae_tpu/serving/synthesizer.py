@@ -245,6 +245,20 @@ class Synthesizer:
             zs = np.stack(zs)
             emotions = np.asarray(emotions)
             np.savez(npz_path, zs=zs, emotions=emotions)
+            # evict superseded fingerprints for this checkpoint+manifest so
+            # repeated re-saves don't accumulate stale .npz files
+            import glob as _glob
+
+            pat = os.path.join(
+                base,
+                os.path.basename(checkpoint_path) + "_*_" + tag + ".npz",
+            )
+            for old in _glob.glob(pat):
+                if old != npz_path:
+                    try:
+                        os.unlink(old)
+                    except OSError:
+                        pass
 
         def centroid(e):
             sel = zs[emotions == e]

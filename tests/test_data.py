@@ -428,3 +428,24 @@ def test_sort_by_length_drop_last_is_unbiased(npy_corpus):
     # drops hit short items too
     assert min(dropped) < 400, dropped
     assert len(set(dropped)) > 3, dropped
+
+
+def test_multihost_batch_count_rank_invariant(npy_corpus):
+    """When len(dataset) % world != 0, low ranks hold one extra item in
+    their strided slice; the per-epoch batch count must still be identical
+    across ranks (a desynced count would hang the global train step)."""
+    hp = create_hparams(TINY).replace(
+        training_files=npy_corpus, validation_files=npy_corpus,
+        load_mel_from_disk=True,
+    )
+    ds = TextMelDataset(npy_corpus, hp, shuffle=False)
+    # truncate to 63 entries -> world=2 slices of 32 and 31 items
+    ds.entries = ds.entries[:63]
+    ds._mel_lengths = None
+    counts = []
+    for rank in range(2):
+        dl = DataLoader(ds, 4, hp, shuffle=True, drop_last=True,
+                        shard=(rank, 2), num_workers=1)
+        counts.append(sum(1 for _ in dl.epoch(0)))
+        assert counts[-1] == len(dl)
+    assert counts[0] == counts[1] == (63 // 2) // 4

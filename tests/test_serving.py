@@ -122,8 +122,12 @@ def test_centroid_cache_invalidated_by_checkpoint_resave(artifacts):
     fp2 = _ckpt_fingerprint(ckpt)
     assert fp2 != fp1
     _make_synth(artifacts, with_waveglow=False)
-    n_npz2 = len([f for f in os.listdir(d) if f.endswith(".npz")])
-    assert n_npz2 == n_npz + 1, "re-save must produce a fresh centroid cache"
+    names = [f for f in os.listdir(d) if f.endswith(".npz")]
+    # fresh cache under the NEW fingerprint; the superseded one is evicted
+    # (stale .npz files would otherwise accumulate per re-save)
+    assert any(fp2 in f for f in names), names
+    assert not any(fp1 in f for f in names), names
+    assert len(names) == n_npz
 
 
 def test_centroid_precompute_skips_sub_pad_clips(artifacts, tmp_path):

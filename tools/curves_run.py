@@ -380,7 +380,9 @@ def run_assets(workdir: str, res_dir: str):
     synth.load(ckpt, None, centroid_filelist=os.path.join(workdir, "val.txt"))
     tds = TextMelDataset(os.path.join(workdir, "train.txt"), hp, shuffle=False)
     tds.warm_mel_cache()
-    mels = [np.load(tds.mel_cache_path(e[0])) for e in tds.entries]
+    # get_mel = cache-or-compute (warm_mel_cache is best-effort and skips
+    # read-only/degenerate wavs; a bare np.load would abort on any miss)
+    mels = [tds.get_mel(e[0]) for e in tds.entries]
     labels = np.array([int(e[3]) for e in tds.entries])
     zs = np.stack(synth._embed_mels([np.asarray(m) for m in mels]))
     mus = zs  # serving embeds the mean path in eval mode

@@ -55,7 +55,15 @@ def kill_tree(proc: subprocess.Popen):
 
 
 def supervised(stages: list[str], workdir: str, log: str,
-               stall_s: int, startup_s: int, target: int | None) -> None:
+               stall_s: int, startup_s: int,
+               mode: str | None = None) -> None:
+    """Run curves_run.py stages under restart-on-stall supervision.
+
+    mode=None (CSV mode): watch the metrics CSV; restart after ``stall_s``
+    seconds without a new row (``startup_s`` grace before the first row).
+    mode="wall": no CSV to watch (assets/samples) — ``startup_s`` is the
+    wall-clock bound per attempt and ``stall_s`` is unused.
+    """
     attempt = 0
     while True:
         attempt += 1
@@ -76,7 +84,7 @@ def supervised(stages: list[str], workdir: str, log: str,
                     return
                 print(f"[supervisor] child rc={rc}; retrying", flush=True)
                 break
-            if target == "wall":
+            if mode == "wall":
                 # non-CSV stage (assets/samples): bound by wall clock only
                 if time.time() - t_start > startup_s:
                     print("[supervisor] wall timeout; killing + retrying",
@@ -106,7 +114,12 @@ def main():
     p.add_argument("--startup", type=int, default=900,
                    help="grace for featurize+compile before first step")
     args = p.parse_args()
+    os.makedirs(args.workdir, exist_ok=True)
     log = os.path.join(args.workdir, "run.log")
+    # corpus stage first on a fresh workdir (idempotent: existing wavs are
+    # kept, so mel caches stay valid across supervisor restarts)
+    if not os.path.exists(os.path.join(args.workdir, "train.txt")):
+        supervised(["corpus"], args.workdir, log, args.stall, 900, "wall")
     supervised(["train"], args.workdir, log, args.stall, args.startup, None)
     # assets+samples: ~10 min of compiles + embeddings; bound by wall clock
     supervised(["assets", "samples"], args.workdir, log,
