@@ -26,18 +26,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CURVES = os.path.join(REPO, "tools", "curves_run.py")
 
 
-def csv_progress(workdir: str) -> int:
+def csv_progress(workdir: str) -> tuple[int, int]:
+    """(last-row iteration, total data rows) of the metrics CSV.
+
+    The LAST row, not the max: a resumed child replays from the newest
+    checkpoint and APPENDS rows below the pre-kill max — under a max()
+    notion of progress the replay window looks like a stall and the
+    supervisor kill-loops without ever letting the child catch up.  Row
+    count breaks ties when a fresh run rewrites earlier iterations."""
     p = os.path.join(workdir, "out", "logs", "metrics.csv")
     try:
+        last, rows = 0, 0
         with open(p) as f:
-            last = 0
             for line in f:
                 line = line.strip()
                 if line and not line.startswith("iteration"):
-                    last = max(last, int(line.split(",", 1)[0]))
-            return last
+                    last = int(line.split(",", 1)[0])
+                    rows += 1
+        return last, rows
     except OSError:
-        return -1
+        return -1, 0
 
 
 def kill_tree(proc: subprocess.Popen):
@@ -74,7 +82,8 @@ def supervised(stages: list[str], workdir: str, log: str,
                 stdout=lf, stderr=lf, start_new_session=True,
             )
         t_start = time.time()
-        last_it, last_change = csv_progress(workdir), time.time()
+        last_prog, last_change = csv_progress(workdir), time.time()
+        progressed = False  # this child has produced at least one new row
         while True:
             time.sleep(30)
             rc = proc.poll()
@@ -93,12 +102,15 @@ def supervised(stages: list[str], workdir: str, log: str,
                     time.sleep(60)
                     break
                 continue
-            it = csv_progress(workdir)
-            if it != last_it:
-                last_it, last_change = it, time.time()
-            limit = startup_s if last_it <= 0 else stall_s
+            prog = csv_progress(workdir)
+            if prog != last_prog:
+                last_prog, last_change = prog, time.time()
+                progressed = True
+            # full startup grace until THIS child writes its first row
+            # (featurize-check + compile + checkpoint restore)
+            limit = stall_s if progressed else startup_s
             if time.time() - last_change > limit:
-                print(f"[supervisor] stall at it={last_it} "
+                print(f"[supervisor] stall at it={last_prog[0]} "
                       f"({int(time.time() - last_change)}s quiet); "
                       "killing + relaunching", flush=True)
                 kill_tree(proc)
