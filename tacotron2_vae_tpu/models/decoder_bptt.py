@@ -732,7 +732,13 @@ def pallas_train_scan_enabled(hp, B: int, S: int, itemsize: int = 2,
     # there (the XLA scan handles fp16 fine).
     if getattr(hp, "fp16_run", False) or hp.compute_dtype == "float16":
         return False
-    return _pallas_vmem_estimate(hp, B, S, itemsize) <= 100 * 1024 * 1024
+    # Ceiling calibrated on v5e hardware at reference dims, bf16 streams:
+    # S=128/B=64 estimates 79.9 MiB and compiles+wins; S=160/B=64
+    # estimates 96.5 MiB and the BACKWARD kernel fails Mosaic compile
+    # (the estimate under-counts Mosaic's double-buffered step blocks
+    # against the 120 MiB vmem limit).  88 MiB splits the two observed
+    # outcomes; long-text buckets beyond it keep the XLA scan.
+    return _pallas_vmem_estimate(hp, B, S, itemsize) <= 88 * 1024 * 1024
 
 
 def teacher_forced(params, memory, mels, memory_lengths, hp, *,

@@ -441,3 +441,16 @@ def test_pallas_auto_off_fp16(monkeypatch):
         hp.replace(fp16_run=True), 64, 128)
     assert not bptt.pallas_train_scan_enabled(
         hp.replace(compute_dtype="float16"), 64, 128)
+
+
+def test_pallas_auto_vmem_ceiling_calibration(monkeypatch):
+    """Hardware-calibrated VMEM ceiling: S=128/B=64 (79.9 MiB estimate)
+    compiles and wins on v5e; S=160/B=64 (96.5 MiB) fails Mosaic compile
+    in the backward kernel — auto must include the former and exclude the
+    latter (and very large batches)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    hp = create_hparams().replace(use_pallas_train_scan="auto")
+    assert bptt.pallas_train_scan_enabled(hp, 64, 128, 2)
+    assert not bptt.pallas_train_scan_enabled(hp, 64, 160, 2)
+    assert not bptt.pallas_train_scan_enabled(hp, 128, 128, 2)
