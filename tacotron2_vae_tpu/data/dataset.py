@@ -112,13 +112,27 @@ class TextMelDataset:
             src = "nosrc"
         return f"{audiopath}.{self._cache_tag}.{src}.npy"
 
-    def _evict_stale_caches(self, audiopath: str, keep: str) -> None:
+    def _evict_stale_caches(self, audiopath: str, keep: str,
+                            dir_names: list[str] | None = None) -> None:
         """Unlink superseded fingerprint-keyed caches for this wav (same
         STFT tag, older mtime/size fingerprint) — without this every wav
-        revision leaks a full mel copy beside the corpus."""
-        import glob as _glob
+        revision leaks a full mel copy beside the corpus.  The fixed part
+        of the pattern is glob-escaped: a wav named ``foo[ab].wav`` must
+        not character-class-match (and delete) a sibling's valid cache.
+        ``dir_names`` (a pre-scanned listing of the wav's directory) skips
+        the per-call glob — the bulk warm pass passes one os.scandir
+        snapshot per directory instead of O(corpus) directory scans."""
+        prefix = f"{audiopath}.{self._cache_tag}."
+        if dir_names is not None:
+            base = os.path.basename(prefix)
+            d = os.path.dirname(audiopath)
+            cand = [os.path.join(d, n) for n in dir_names
+                    if n.startswith(base) and n.endswith(".npy")]
+        else:
+            import glob as _glob
 
-        for old in _glob.glob(f"{audiopath}.{self._cache_tag}.*.npy"):
+            cand = _glob.glob(_glob.escape(prefix) + "*.npy")
+        for old in cand:
             if old != keep and not old.endswith(".tmp.npy"):
                 try:
                     os.unlink(old)
@@ -198,6 +212,16 @@ class TextMelDataset:
 
         pad = self.hp.filter_length // 2
         written = 0
+        # One directory listing per corpus dir for stale-cache eviction
+        # (a per-write glob would rescan the directory O(corpus) times).
+        dir_listing: dict[str, list[str]] = {}
+        for p in todo:
+            d = os.path.dirname(p)
+            if d not in dir_listing:
+                try:
+                    dir_listing[d] = os.listdir(d)
+                except OSError:
+                    dir_listing[d] = []
         # Decode + featurize a bounded window of utterances at a time
         # (streaming keeps host RAM flat over a multi-hour corpus).
         window = max(1, (4 * batch_chunks * chunk_frames * self.hp.hop_length)
@@ -227,7 +251,10 @@ class TextMelDataset:
                 try:
                     np.save(tmp, mel)
                     os.replace(tmp, cache)
-                    self._evict_stale_caches(path, cache)
+                    self._evict_stale_caches(
+                        path, cache,
+                        dir_names=dir_listing.get(os.path.dirname(path)),
+                    )
                     written += 1
                 except OSError:
                     pass  # read-only corpus: cache is best-effort
@@ -416,7 +443,11 @@ class DataLoader:
                 for p in (idx[i : i + pool] for i in range(0, len(idx), pool))
             ]
             idx = np.concatenate(parts) if parts else idx
-        nb = len(self)  # rank-invariant in both drop_last modes
+        # Rank-invariant count under drop_last (the sharded training mode).
+        # NOTE: drop_last=False with world>1 still emits a SMALLER final
+        # batch on high ranks when n % world != 0 (fixed_lengths pads S/T,
+        # not the batch dim) — sharded loaders must use drop_last=True.
+        nb = len(self)
         chunks = [
             idx[b * self.batch_size : (b + 1) * self.batch_size]
             for b in range(nb)

@@ -197,10 +197,17 @@ class Synthesizer:
             + "_" + _ckpt_fingerprint(checkpoint_path)
             + "_" + tag + ".npz",
         )
+        zs = emotions = None
         if os.path.exists(npz_path):
-            d = np.load(npz_path)
-            zs, emotions = d["zs"], d["emotions"]
-        else:
+            try:
+                d = np.load(npz_path)
+                zs, emotions = d["zs"], d["emotions"]
+            except (OSError, ValueError, KeyError):
+                # a concurrent loader of a re-saved checkpoint may have
+                # evicted this fingerprint between exists() and load (or
+                # the file is torn); fall through to recompute
+                zs = emotions = None
+        if zs is None:
             entries = [
                 line.strip().split("|")
                 for line in open(filelist, encoding="utf-8")
@@ -246,12 +253,15 @@ class Synthesizer:
             emotions = np.asarray(emotions)
             np.savez(npz_path, zs=zs, emotions=emotions)
             # evict superseded fingerprints for this checkpoint+manifest so
-            # repeated re-saves don't accumulate stale .npz files
+            # repeated re-saves don't accumulate stale .npz files (fixed
+            # pattern parts glob-escaped: metachars in a checkpoint path
+            # must neither break eviction nor match another run's cache)
             import glob as _glob
 
-            pat = os.path.join(
-                base,
-                os.path.basename(checkpoint_path) + "_*_" + tag + ".npz",
+            pat = (
+                _glob.escape(os.path.join(
+                    base, os.path.basename(checkpoint_path) + "_"))
+                + "*" + _glob.escape("_" + tag + ".npz")
             )
             for old in _glob.glob(pat):
                 if old != npz_path:

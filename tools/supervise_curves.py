@@ -104,8 +104,12 @@ def supervised(stages: list[str], workdir: str, log: str,
                 continue
             prog = csv_progress(workdir)
             if prog != last_prog:
+                # only a grown DATA-row count ends the startup grace: the
+                # logger writes the CSV header immediately at child start,
+                # long before featurize+compile finish
+                if prog[1] > last_prog[1]:
+                    progressed = True
                 last_prog, last_change = prog, time.time()
-                progressed = True
             # full startup grace until THIS child writes its first row
             # (featurize-check + compile + checkpoint restore)
             limit = stall_s if progressed else startup_s
@@ -129,8 +133,11 @@ def main():
     os.makedirs(args.workdir, exist_ok=True)
     log = os.path.join(args.workdir, "run.log")
     # corpus stage first on a fresh workdir (idempotent: existing wavs are
-    # kept, so mel caches stay valid across supervisor restarts)
-    if not os.path.exists(os.path.join(args.workdir, "train.txt")):
+    # kept, so mel caches stay valid across supervisor restarts).  val.txt
+    # is written LAST by make_corpus — checking it (not train.txt) means a
+    # supervisor death mid-corpus re-runs the stage instead of crash-
+    # looping train on the missing validation filelist.
+    if not os.path.exists(os.path.join(args.workdir, "val.txt")):
         supervised(["corpus"], args.workdir, log, args.stall, 900, "wall")
     supervised(["train"], args.workdir, log, args.stall, args.startup, None)
     # assets+samples: ~10 min of compiles + embeddings; bound by wall clock
