@@ -449,3 +449,39 @@ def test_multihost_batch_count_rank_invariant(npy_corpus):
         counts.append(sum(1 for _ in dl.epoch(0)))
         assert counts[-1] == len(dl)
     assert counts[0] == counts[1] == (63 // 2) // 4
+
+
+def test_cache_eviction_escapes_glob_metachars(tmp_path):
+    """A wav named with glob metachars (foo[ab].wav) must evict only ITS
+    stale caches — an unescaped pattern character-class-matches a SIBLING
+    wav's valid cache (fooa.wav) and deletes it."""
+    import wave as _wave
+
+    hp = create_hparams(TINY)
+    d = str(tmp_path)
+
+    def write_wav(path):
+        with _wave.open(path, "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2)
+            w.setframerate(hp.sampling_rate)
+            w.writeframes(np.zeros(4096, np.int16).tobytes())
+
+    tricky = os.path.join(d, "foo[ab].wav")
+    sibling = os.path.join(d, "fooa.wav")
+    write_wav(tricky)
+    write_wav(sibling)
+    filelist = os.path.join(d, "l.txt")
+    with open(filelist, "w") as f:
+        f.write(f"{tricky}|{TEXTS[0]}|0|0\n{sibling}|{TEXTS[1]}|0|1\n")
+    ds = TextMelDataset(filelist, hp, shuffle=False)
+
+    ds.get_mel(sibling)   # sibling's valid cache
+    sib_cache = ds.mel_cache_path(sibling)
+    assert os.path.exists(sib_cache)
+    # plant a stale cache for the tricky wav, then featurize it
+    stale = f"{tricky}.{ds._cache_tag}.deadbeef.npy"
+    np.save(stale, np.zeros((hp.n_mel_channels, 3), np.float32))
+    ds.get_mel(tricky)
+    assert os.path.exists(ds.mel_cache_path(tricky))
+    assert os.path.exists(sib_cache), "sibling's valid cache was deleted"
+    assert not os.path.exists(stale), "tricky wav's stale cache not evicted"
