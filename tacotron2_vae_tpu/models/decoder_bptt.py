@@ -741,6 +741,21 @@ def pallas_train_scan_enabled(hp, B: int, S: int, itemsize: int = 2,
     return _pallas_vmem_estimate(hp, B, S, itemsize) <= 88 * 1024 * 1024
 
 
+def pallas_train_scan_will_engage(hp, B: int, S: int, itemsize: int = 2):
+    """Mesh-aware resolve of ``pallas_train_scan_enabled``: when a dp trace
+    mesh is active (teacher_forced routes per-device via shard_map), probe
+    with the PER-DEVICE batch and ``sharded=True`` — so callers deciding
+    dtype/kernel policy (e.g. the scan-dtype "auto" rule in
+    models/tacotron2.py) resolve identically on single-chip and mesh runs."""
+    mesh = _DP_TRACE_MESH
+    if mesh is not None:
+        dp = int(mesh.shape.get("data", 1))
+        return B % dp == 0 and pallas_train_scan_enabled(
+            hp, B // dp, S, itemsize, sharded=True
+        )
+    return pallas_train_scan_enabled(hp, B, S, itemsize)
+
+
 def teacher_forced(params, memory, mels, memory_lengths, hp, *,
                    train: bool, rng, dtype=None,
                    prenet_dropout_enabled: bool = True):
@@ -822,8 +837,7 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
     mesh = _DP_TRACE_MESH
     mesh_splits = True
     if mesh is not None:
-        dp = int(mesh.shape.get("data", 1))
-        mesh_splits = B % dp == 0
+        mesh_splits = B % int(mesh.shape.get("data", 1)) == 0
         # Per-device kernel via shard_map over 'data'; the batch must split
         # evenly.  A tp ('model') axis is fine: the scan weights are
         # replicated across it (the recurrent cells are deliberately not
@@ -832,13 +846,9 @@ def teacher_forced(params, memory, mels, memory_lengths, hp, *,
         # replicated-weight scan — and shard_map's transpose yields exactly
         # the single-device weight grads (tp=2 parity test-pinned; the tiny
         # tp-sharded query_w is all-gathered by its P() in_spec).
-        pallas_on = (
-            mesh_splits
-            and pallas_train_scan_enabled(hp, B // dp, S, itemsize,
-                                          sharded=True)
-        )
-    else:
-        pallas_on = pallas_train_scan_enabled(hp, B, S, itemsize)
+    pallas_on = bool(mesh_splits) and pallas_train_scan_will_engage(
+        hp, B, S, itemsize
+    )
     # Under a mesh whose 'data' axis does not divide B, shard_map cannot
     # split the batch — the kernels are unavailable there, and even the
     # T2V_PALLAS_* force-flags must not route into a trace-time error.

@@ -125,7 +125,7 @@ def forward(
         use_bf16 = hp.compute_dtype != "float32" and (
             B * S >= 2048
             or (hp.use_custom_bptt
-                and decoder_bptt.pallas_train_scan_enabled(hp, B, S, 2))
+                and decoder_bptt.pallas_train_scan_will_engage(hp, B, S, 2))
         )
         scan_dtype = jnp.dtype(hp.compute_dtype) if use_bf16 else None
     else:

@@ -90,9 +90,12 @@ class Synthesizer:
         self.params = jax.device_put(params)
         self.model_state = jax.device_put(model_state)
         if waveglow_path:
-            self.waveglow = jax.device_put(
-                _load_waveglow(waveglow_path, self.waveglow_cfg)
-            )
+            wg_params, wg_cfg = _load_waveglow(waveglow_path, self.waveglow_cfg)
+            if wg_cfg is not None:
+                # self-describing checkpoint (tools/train_waveglow.py
+                # --export): the embedded config wins over the default
+                self.waveglow_cfg = wg_cfg
+            self.waveglow = jax.device_put(wg_params)
 
         if centroid_filelist is None:
             centroid_filelist = os.path.join(
@@ -258,17 +261,28 @@ class Synthesizer:
             # must neither break eviction nor match another run's cache)
             import glob as _glob
 
+            prefix = os.path.basename(checkpoint_path) + "_"
+            suffix = "_" + tag + ".npz"
             pat = (
-                _glob.escape(os.path.join(
-                    base, os.path.basename(checkpoint_path) + "_"))
-                + "*" + _glob.escape("_" + tag + ".npz")
+                _glob.escape(os.path.join(base, prefix))
+                + "*" + _glob.escape(suffix)
             )
             for old in _glob.glob(pat):
-                if old != npz_path:
-                    try:
-                        os.unlink(old)
-                    except OSError:
-                        pass
+                if old == npz_path:
+                    continue
+                # The glob's "*" may over-match a SIBLING checkpoint whose
+                # basename extends ours (`checkpoint_15` vs
+                # `checkpoint_1500_<fp>_val.npz`): only unlink when the
+                # middle is exactly one fingerprint (lowercase hex, as
+                # emitted by _ckpt_fingerprint) — never a path fragment or
+                # a longer checkpoint name.
+                mid = os.path.basename(old)[len(prefix):-len(suffix)]
+                if not mid or any(c not in "0123456789abcdef" for c in mid):
+                    continue
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
 
         def centroid(e):
             sel = zs[emotions == e]
@@ -485,13 +499,23 @@ def _load_any_checkpoint(path: str, hp):
 
 
 def _load_waveglow(path: str, cfg):
+    """Returns (params, config-or-None).  A pickle may carry its own
+    WaveGlowConfig dict (written by tools/train_waveglow.py --export) —
+    weights there may be stored float16 for size; cast back to fp32."""
     if path.endswith(".pkl") or path.endswith(".pickle"):
         with open(path, "rb") as f:
-            return pickle.load(f)["waveglow"]
+            blob = pickle.load(f)
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32), blob["waveglow"]
+        )
+        loaded_cfg = None
+        if "config" in blob:
+            loaded_cfg = waveglow_mod.WaveGlowConfig(**blob["config"])
+        return params, loaded_cfg
     import sys, os as _os
 
     sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
         _os.path.dirname(_os.path.abspath(__file__)))), "tools"))
     from convert_torch_ckpt import convert_waveglow
 
-    return convert_waveglow(path, cfg)
+    return convert_waveglow(path, cfg), None

@@ -43,7 +43,7 @@ class Tacotron2Logger:
                         "kl_div,kl_weight,recon_loss\n")
         if not os.path.exists(self._val_csv):
             with open(self._val_csv, "w") as f:
-                f.write("iteration,loss\n")
+                f.write("iteration,loss,recon_loss,kl_div\n")
 
     def log_training(self, reduced_loss, grad_norm, learning_rate, duration,
                      kl_div, kl_weight, recon_loss, iteration):
@@ -61,12 +61,24 @@ class Tacotron2Logger:
                     f"{float(duration):.4f},{float(kl_div):.6f},"
                     f"{float(kl_weight):.6f},{float(recon_loss):.6f}\n")
 
-    def log_validation(self, reduced_loss, params, outputs, targets, iteration):
-        """outputs: Tacotron2Output; targets: (mel_target, gate_target)."""
+    def log_validation(self, reduced_loss, params, outputs, targets, iteration,
+                       components=None):
+        """outputs: Tacotron2Output; targets: (mel_target, gate_target).
+
+        ``components`` (optional): val-set-averaged {recon_loss, kl_loss} —
+        logged alongside the total (the reference logs only the total,
+        logger.py:24; the components are already computed by the loss aux)."""
         w = self.writer
         w.add_scalar("validation.loss", float(reduced_loss), iteration)
+        recon = kl = float("nan")
+        if components:
+            recon = float(components.get("recon_loss", float("nan")))
+            kl = float(components.get("kl_loss", float("nan")))
+            w.add_scalar("validation.recon_loss", recon, iteration)
+            w.add_scalar("validation.kl_div", kl, iteration)
         with open(self._val_csv, "a") as f:
-            f.write(f"{iteration},{float(reduced_loss):.6f}\n")
+            f.write(f"{iteration},{float(reduced_loss):.6f},"
+                    f"{recon:.6f},{kl:.6f}\n")
 
         # Parameter histograms (logger.py:31-33).
         def walk(tree, path=""):

@@ -59,13 +59,27 @@ def prepare_dataloaders(hp, shard=(0, 1)):
 
 
 def validate(eval_step, ts, val_loader, rng):
-    losses = []
+    """Eval pass over the whole val set; returns (mean total loss,
+    {mean recon_loss, kl_loss}, last (batch, out)).
+
+    The RNG is folded per batch index: prenet dropout stays stochastic in
+    eval (reference model.py:101) but each batch must draw DIFFERENT noise —
+    reusing one key correlates the val-loss average across batches."""
+    losses, recons, kls = [], [], []
     last = None
-    for batch in val_loader.epoch(0):
-        total, aux, out = eval_step(ts, batch.asdict(), rng)
+    for i, batch in enumerate(val_loader.epoch(0)):
+        total, aux, out = eval_step(ts, batch.asdict(), jax.random.fold_in(rng, i))
         losses.append(float(total))
+        recons.append(float(aux["recon_loss"]))
+        kls.append(float(aux["kl_loss"]))
         last = (batch, out)
-    return (float(np.mean(losses)) if losses else float("nan")), last
+    if not losses:
+        return float("nan"), {"recon_loss": float("nan"),
+                              "kl_loss": float("nan")}, last
+    return float(np.mean(losses)), {
+        "recon_loss": float(np.mean(recons)),
+        "kl_loss": float(np.mean(kls)),
+    }, last
 
 
 def maybe_init_distributed():
@@ -181,13 +195,16 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
 
             if iteration % hp.iters_per_checkpoint == 0 and iteration > 0:
                 rng, val_rng = jax.random.split(rng)
-                val_loss, last = validate(eval_step, ts, val_loader, val_rng)
+                val_loss, val_aux, last = validate(
+                    eval_step, ts, val_loader, val_rng
+                )
                 print(f"Validation loss {iteration}: {val_loss:.6f}")
                 if logger and last is not None:
                     vbatch, vout = last
                     logger.log_validation(
                         val_loss, jax.device_get(ts.params), vout,
                         (vbatch.mel, vbatch.gate), iteration,
+                        components=val_aux,
                     )
                 ckpt = save_checkpoint(ts, learning_rate, output_directory,
                                        iteration)

@@ -130,6 +130,53 @@ def test_centroid_cache_invalidated_by_checkpoint_resave(artifacts):
     assert len(names) == n_npz
 
 
+def test_centroid_eviction_spares_prefix_sibling_checkpoint(artifacts, tmp_path):
+    """Step-numbered checkpoints in one directory: `ckpt_15`'s eviction glob
+    `ckpt_15_*_test.npz` also matches `ckpt_1500_<fp>_test.npz` (middle
+    `00_<fp>`), so recomputing ckpt_15's centroids must NOT delete the
+    sibling's valid cache — only middles that are exactly one fingerprint
+    (hex, no '_') are eviction candidates."""
+    import shutil
+
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    d, hp, ckpt, _, filelist = artifacts
+    sdir = str(tmp_path / "ckpts")
+    os.makedirs(sdir)
+    short = os.path.join(sdir, "ckpt_15")
+    long = os.path.join(sdir, "ckpt_1500")
+    shutil.copy(ckpt, short)
+    shutil.copy(ckpt, long)
+
+    def load(path):
+        s = Synthesizer(hp)
+        s.load(path, None, centroid_filelist=filelist)
+
+    load(long)
+    sib = [f for f in os.listdir(sdir)
+           if f.startswith("ckpt_1500_") and f.endswith(".npz")]
+    assert len(sib) == 1
+    load(short)  # recompute + evict pass for ckpt_15
+    names = os.listdir(sdir)
+    assert sib[0] in names, f"sibling cache evicted: {names}"
+    assert any(f.startswith("ckpt_15_") and f.endswith(".npz")
+               for f in names), names
+    # and ckpt_15's own stale fingerprints ARE still evicted on re-save
+    import time as _time
+
+    _time.sleep(0.01)
+    with open(short, "rb") as f:
+        blob = f.read()
+    with open(short, "wb") as f:
+        f.write(blob)
+    load(short)
+    own = [f for f in os.listdir(sdir)
+           if f.startswith("ckpt_15_") and f.endswith(".npz")
+           and not f.startswith("ckpt_1500_")]
+    assert len(own) == 1, own
+    assert sib[0] in os.listdir(sdir)
+
+
 def test_centroid_precompute_skips_sub_pad_clips(artifacts, tmp_path):
     """One sub-pad-length clip in the manifest must not abort the bulk
     centroid featurization (it is skipped like an unreadable file)."""

@@ -316,20 +316,30 @@ def run_assets(workdir: str, res_dir: str):
     it = tr["iteration"]
     # y-limits clamp the first-seconds init transient / free-latent spike
     # so the plateau — the behavior the reference's plots show — is
-    # visible; the clipped region is stated in each title.
-    loss_cap = float(np.percentile(tr["loss"][len(it) // 10:], 99.5)) * 1.6
+    # visible; the clipped region is stated in each title.  Caps fall back
+    # to the full series (or None) when the filtered slice is empty — a
+    # very short CSV must not crash the assets stage (the supervisor would
+    # wall-timeout-retry it in a loop).
+    def _cap(series, factor):
+        series = np.asarray(series, np.float64)
+        series = series[np.isfinite(series)]
+        if series.size == 0:
+            return None
+        return (0.0, float(np.percentile(series, 99.5)) * factor)
+
+    loss_ylim = _cap(tr["loss"][len(it) // 10:], 1.6) or _cap(tr["loss"], 1.6)
     curve("trainingloss.png", it, tr["loss"],
           "training.loss — 16k-step run, synthetic emotional corpus, B=64 "
           "(init transient clipped)",
-          "total loss", ylim=(0, loss_cap))
+          "total loss", ylim=loss_ylim)
     curve("reconloss.png", it, tr["recon_loss"],
           "recon_loss (mel MSE x2 + gate BCE; init transient clipped)",
-          "recon loss", ylim=(0, loss_cap))
-    kl_cap = float(np.percentile(
-        tr["kl_div"][np.asarray(it) > 2000], 99.5)) * 1.8
+          "recon loss", ylim=loss_ylim)
+    kl_ylim = (_cap(np.asarray(tr["kl_div"])[np.asarray(it) > 2000], 1.8)
+               or _cap(tr["kl_div"], 1.8))
     curve("kldiv.png", it, tr["kl_div"],
           "kl_div (summed KL) — free-latent warmup spike (to ~8e3) clipped; "
-          "priced plateau shown", "KL", ylim=(0, kl_cap))
+          "priced plateau shown", "KL", ylim=kl_ylim)
     curve("klweight.png", it, tr["kl_weight"],
           "kl_weight (reference 'linear' schedule: free until lag=1200, "
           "then capped at 1e-4 — weight*KL/recon matches the published gap)",

@@ -121,6 +121,16 @@ def main():
     p.add_argument("--mesh", default=None, metavar="DATA,MODEL",
                    help="train on a (data, model) device mesh, e.g. 8,1 "
                         "for pure dp or 4,2 for dp+tp over the WN stack")
+    p.add_argument("--export", default=None, metavar="PATH.pkl",
+                   help="after the last step, also write a self-describing "
+                        "serving pickle {waveglow: params, config: ...} that "
+                        "Synthesizer.load() consumes directly")
+    p.add_argument("--export_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="storage dtype for --export (float16 halves the "
+                        "artifact; serving casts back to fp32)")
+    p.add_argument("--upsample_kernel", type=int, default=1024)
+    p.add_argument("--n_group", type=int, default=8)
     args = p.parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -129,7 +139,8 @@ def main():
 
     cfg = wg.WaveGlowConfig(
         n_flows=args.n_flows, n_channels=args.n_channels,
-        n_layers=args.n_layers,
+        n_layers=args.n_layers, upsample_kernel=args.upsample_kernel,
+        n_group=args.n_group,
     )
     params = wg.init(jax.random.PRNGKey(0), cfg)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
@@ -200,6 +211,20 @@ def main():
                 "opt_state": _to_host(opt_state),
             }, force=True)
             print("saved", path)
+    if args.export:
+        import dataclasses
+        import pickle
+
+        store = np.dtype(args.export_dtype)
+        blob = {
+            "waveglow": jax.tree_util.tree_map(
+                lambda x: np.asarray(x, store), params
+            ),
+            "config": dataclasses.asdict(cfg),
+        }
+        with open(args.export, "wb") as f:
+            pickle.dump(blob, f)
+        print("exported", args.export)
     print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
 
 
