@@ -264,7 +264,7 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
     gate_threshold = gate_threshold or hp.gate_threshold
 
     if use_pallas is None:
-        use_pallas = B == 1 and jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas and B == 1:
         from ..ops.pallas import decoder_loop as _dl
 
@@ -280,6 +280,25 @@ def infer(params, memory, hp, *, rng, max_steps=None, gate_threshold=None,
             seed=seed, dropout_on=prenet_dropout_enabled,
             dtype_name=jnp.dtype(dtype or jnp.float32).name, r=r,
         )
+    if use_pallas and B > 1:
+        from ..ops.pallas import decoder_loop as _dl
+
+        dt = jnp.dtype(dtype or jnp.float32)
+        if _dl.batched_decode_supported(
+            B, S, hp.attention_dim, memory.shape[2], hp.attention_rnn_dim,
+            dt.itemsize,
+        ):
+            pmem = linear(params["attention"]["memory"], memory)
+            mask = None
+            if memory_lengths is not None:
+                mask = jnp.arange(S)[None, :] < memory_lengths[:, None]
+            seed = jax.random.randint(rng, (), 0, 2 ** 31 - 1)
+            return _dl.decode_loop_batched(
+                params, memory, pmem, mask,
+                max_steps=max_steps, gate_threshold=float(gate_threshold),
+                seed=seed, dropout_on=prenet_dropout_enabled,
+                dtype_name=dt.name, r=r,
+            )
 
     processed_memory = linear(params["attention"]["memory"], memory, dtype=dtype)
     mask = None

@@ -19,7 +19,15 @@ fires) runs inside ONE kernel invocation:
   * the gate early-exit is a lax.while_loop inside the kernel; output
     buffers are zero-initialized and written with dynamic stores.
 
-B=1 only (serving path); callers fall back to the XLA while_loop for B>1.
+``decode_loop`` is the B=1 serving kernel.  ``decode_loop_batched`` (round
+4) extends the fused decode to 1 < B <= 8 concurrent streams for the
+serving micro-batch queue (serving/app.py): it swaps the B=1 transposed
+attention orientation for the training-scan kernel's batched layout
+(teacher_fwd.py — banded-Toeplitz location matmul into (B, S*A), energies
+via kron(I_S, v), context via a block-diagonal-masked tile matmul) and
+exits as soon as EVERY row's gate has fired.  Callers fall back to the XLA
+while_loop beyond the supported (B, S) envelope
+(``batched_decode_supported``).
 """
 
 from __future__ import annotations
@@ -369,5 +377,312 @@ def decode_loop(
         mel_out,                 # (1, n_mel, max_steps*r)
         gate_vec[None],          # (1, max_steps)
         align[None],             # (1, max_steps, S)
+        lengths,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batched fused decode (1 < B <= 8) for the serving micro-batch queue.
+# ---------------------------------------------------------------------------
+
+
+def batched_decode_supported(B: int, S: int, A: int, E: int, H: int,
+                             itemsize: int = 2,
+                             loc_k: int = LOC_K) -> bool:
+    """Envelope for the batched kernel: B <= 8 (the micro-batch queue's cap)
+    and a pinned-VMEM estimate within budget.  The dominant pins are the
+    banded location matrix (2L, S*A) and the two fused LSTM weights; long
+    text buckets blow the band — S<=160 at reference dims (A=128) fits,
+    S=256 does not."""
+    if not 1 < B <= 8:
+        return False
+    L = S + loc_k - 1
+    band = 2 * L * S * A * itemsize
+    v_exp = S * A * S * itemsize
+    mem = B * S * E * itemsize + B * S * A * itemsize
+    weights = ((256 + E + H) * 4 * H + (H + E + H) * 4 * H
+               + H * A + (H + E) * 256) * itemsize
+    return band + v_exp + mem + weights <= 80 * 1024 * 1024
+
+
+def _kernel_batched(
+    dropout_on,   # static bool
+    S,            # static int
+    # scalar prefetch
+    scalars_ref,  # SMEM (4,): [max_steps, seed, S, B]
+    # inputs (all VMEM, pinned for the whole decode)
+    memory_flat_ref,   # (B*S, E)   stream dtype
+    pmem2_ref,         # (B, S*A)   stream dtype
+    add_mask_ref,      # (B, S)     f32 additive mask
+    band_f_ref,        # (2L, S*A)  stream dtype (loc conv+dense folded)
+    v_exp_ref,         # (S*A, S)   stream dtype (kron(I_S, v))
+    mask_bd_ref,       # (B, B*S)   f32 block-diagonal 0/1
+    prenet_w1_ref, prenet_w2_ref,
+    attn_w_ref, attn_b_ref,
+    dec_w_ref, dec_b_ref,
+    query_w_ref,
+    proj_gate_w_ref, proj_gate_b_ref,
+    gate_threshold_ref,  # SMEM (1, 1) f32
+    # outputs
+    out_ref,        # (max_steps, B, n_out + 1) f32: mel lanes then gate
+    align_out_ref,  # (max_steps, B, S) f32
+    steps_out_ref,  # SMEM (1,) int32
+):
+    max_steps = scalars_ref[0]
+    seed = scalars_ref[1]
+    gate_threshold = gate_threshold_ref[0, 0]
+
+    B = add_mask_ref.shape[0]
+    E = memory_flat_ref.shape[1]
+    H4 = attn_w_ref.shape[1]
+    H = H4 // 4
+    n_out = out_ref.shape[2] - 1  # r * n_mel
+    L2 = band_f_ref.shape[0]
+    PAD = (L2 // 2 - S) // 2
+    wdt = memory_flat_ref.dtype
+
+    if dropout_on:
+        pltpu.prng_seed(seed)
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    align_out_ref[:] = jnp.zeros_like(align_out_ref)
+
+    def dropout_keep(x):
+        if not dropout_on:
+            return x
+        bits = pltpu.prng_random_bits(x.shape)
+        keep = (bits.astype(jnp.uint32) < jnp.uint32(2147483648)).astype(
+            jnp.float32
+        )
+        return x * keep * 2.0
+
+    def lstm(xh_cat, w_ref_, b_ref_, c):
+        g = (
+            jnp.dot(xh_cat.astype(wdt), w_ref_[:],
+                    preferred_element_type=jnp.float32)
+            + b_ref_[:]
+        )
+        i = jax.nn.sigmoid(g[:, :H])
+        f = jax.nn.sigmoid(g[:, H:2 * H])
+        gg = jnp.tanh(g[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(g[:, 3 * H:])
+        c_new = f * c + i * gg
+        return o * jnp.tanh(c_new), c_new
+
+    def cond(carry):
+        t, finished = carry[0], carry[1]
+        return jnp.logical_and(t < max_steps, jnp.min(finished) < 0.5)
+
+    def body(carry):
+        (t, finished, prev_mel, h_att, c_att, h_dec, c_dec,
+         attn_w, attn_cum, context) = carry
+        active = 1.0 - finished  # (B, 1) f32
+
+        # Prenet (2x linear+relu+dropout) from the previous emitted group.
+        x = jnp.maximum(
+            jnp.dot(prev_mel.astype(wdt), prenet_w1_ref[:],
+                    preferred_element_type=jnp.float32), 0.0)
+        x = dropout_keep(x)
+        x = jnp.maximum(
+            jnp.dot(x.astype(wdt), prenet_w2_ref[:],
+                    preferred_element_type=jnp.float32), 0.0)
+        x = dropout_keep(x)
+
+        # Attention LSTM.
+        cell_in = jnp.concatenate([x, context, h_att], axis=1)
+        h_att_new, c_att_new = lstm(cell_in, attn_w_ref, attn_b_ref[:], c_att)
+
+        # Location-sensitive attention, batched layout (teacher_fwd.py).
+        xpad = jnp.concatenate(
+            [jnp.pad(attn_w, ((0, 0), (PAD, PAD))),
+             jnp.pad(attn_cum, ((0, 0), (PAD, PAD)))],
+            axis=1,
+        )  # (B, 2L)
+        locd2 = jnp.dot(xpad.astype(wdt), band_f_ref[:],
+                        preferred_element_type=jnp.float32)  # (B, S*A)
+        q = jnp.dot(h_att_new.astype(wdt), query_w_ref[:],
+                    preferred_element_type=jnp.float32)  # (B, A)
+        q_rep = pltpu.repeat(q, S, axis=1)  # (B, S*A)
+        tanh_arg = jnp.tanh(q_rep + locd2 + pmem2_ref[:].astype(jnp.float32))
+        e = (
+            jnp.dot(tanh_arg.astype(wdt), v_exp_ref[:],
+                    preferred_element_type=jnp.float32)
+            + add_mask_ref[:]
+        )  # (B, S)
+        emax = jnp.max(e, axis=1, keepdims=True)
+        ex = jnp.exp(e - emax)
+        w = ex / jnp.sum(ex, axis=1, keepdims=True)  # (B, S)
+
+        w_tiled = pltpu.repeat(w, B, axis=1)          # (B, B*S)
+        w_bd = w_tiled * mask_bd_ref[:]
+        context_new = jnp.dot(w_bd.astype(wdt), memory_flat_ref[:],
+                              preferred_element_type=jnp.float32)  # (B, E)
+        attn_cum_new = attn_cum + w
+
+        # Decoder LSTM + fused mel/gate projection.
+        dec_in = jnp.concatenate([h_att_new, context_new, h_dec], axis=1)
+        h_dec_new, c_dec_new = lstm(dec_in, dec_w_ref, dec_b_ref[:], c_dec)
+        hc = jnp.concatenate([h_dec_new, context_new], axis=1)
+        out_t = (
+            jnp.dot(hc.astype(wdt), proj_gate_w_ref[:],
+                    preferred_element_type=jnp.float32)
+            + proj_gate_b_ref[:]
+        )  # (B, n_out + 1)
+        mel_t = out_t[:, :n_out]
+        gate_col = out_t[:, n_out:]  # (B, 1)
+
+        # Finished rows emit zeros (same contract as the XLA while_loop).
+        out_ref[pl.ds(t, 1), :, :] = (out_t * active)[None]
+        align_out_ref[pl.ds(t, 1), :, :] = (w * active)[None]
+
+        fired = (jax.nn.sigmoid(gate_col) > gate_threshold).astype(jnp.float32)
+        finished_new = jnp.maximum(finished, fired)
+        return (t + 1, finished_new, mel_t, h_att_new, c_att_new,
+                h_dec_new, c_dec_new, w, attn_cum_new, context_new)
+
+    init = (
+        jnp.int32(0),
+        jnp.zeros((B, 1), jnp.float32),
+        jnp.zeros((B, n_out), jnp.float32),
+        jnp.zeros((B, H), jnp.float32),
+        jnp.zeros((B, H), jnp.float32),
+        jnp.zeros((B, H), jnp.float32),
+        jnp.zeros((B, H), jnp.float32),
+        jnp.zeros((B, S), jnp.float32),
+        jnp.zeros((B, S), jnp.float32),
+        jnp.zeros((B, E), jnp.float32),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    steps_out_ref[0] = final[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_steps", "interpret", "dtype_name", "dropout_on",
+                     "r"),
+)
+def decode_loop_batched(
+    dec_params,
+    memory,            # (B, S, E)
+    processed_memory,  # (B, S, A)
+    mask,              # (B, S) bool, or None for all-valid
+    *,
+    max_steps: int,
+    gate_threshold: float,
+    seed,
+    dropout_on: bool = True,
+    interpret: bool = False,
+    dtype_name: str = "bfloat16",
+    r: int = 1,
+):
+    """Fused batched decode: same return contract as models.decoder.infer
+    ((B, n_mel, max_steps*r) mel, (B, max_steps) gate, (B, max_steps, S)
+    alignments, (B,) frame lengths).  Takes the RAW decoder params (not
+    prepare_weights output — the batched layout packs differently)."""
+    from .teacher_fwd import build_loc_band
+
+    dtype = jnp.dtype(dtype_name)
+    B, S, E = memory.shape
+    A = processed_memory.shape[2]
+    n_out = dec_params["proj"]["w"].shape[1]  # r * n_mel
+
+    att = dec_params["attention"]
+    band_f = build_loc_band(att["loc_conv"]["w"], att["loc_dense"]["w"],
+                            S).astype(dtype)
+    v_exp = jnp.kron(
+        jnp.eye(S, dtype=jnp.float32), att["v"]["w"].astype(jnp.float32)
+    ).astype(dtype)  # (S*A, S)
+    mask_bd = jnp.kron(
+        jnp.eye(B, dtype=jnp.float32), jnp.ones((1, S), jnp.float32)
+    )  # (B, B*S)
+
+    memory_flat = memory.reshape(B * S, E).astype(dtype)
+    pmem2 = processed_memory.reshape(B, S * A).astype(dtype)
+    add_mask = jnp.where(
+        mask if mask is not None else jnp.ones((B, S), bool),
+        0.0, jnp.float32(np.finfo(np.float32).min)
+    )
+
+    attn_w_full = jnp.concatenate(
+        [dec_params["attention_rnn"]["wi"], dec_params["attention_rnn"]["wh"]],
+        axis=0,
+    )
+    dec_w_full = jnp.concatenate(
+        [dec_params["decoder_rnn"]["wi"], dec_params["decoder_rnn"]["wh"]],
+        axis=0,
+    )
+    proj_gate_w = jnp.concatenate(
+        [dec_params["proj"]["w"], dec_params["gate"]["w"]], axis=1
+    )
+    proj_gate_b = jnp.concatenate(
+        [dec_params["proj"]["b"], dec_params["gate"]["b"]]
+    )
+
+    scalars = jnp.asarray(
+        [max_steps, jnp.asarray(seed, jnp.int32), S, B], jnp.int32
+    )
+    gate_thr = jnp.asarray([[gate_threshold]], jnp.float32)
+
+    inputs = (
+        memory_flat, pmem2, add_mask, band_f, v_exp, mask_bd,
+        dec_params["prenet"][0]["w"].astype(dtype),
+        dec_params["prenet"][1]["w"].astype(dtype),
+        attn_w_full.astype(dtype),
+        jnp.asarray(
+            dec_params["attention_rnn"]["bi"]
+            + dec_params["attention_rnn"]["bh"], jnp.float32,
+        )[None, :],
+        dec_w_full.astype(dtype),
+        jnp.asarray(
+            dec_params["decoder_rnn"]["bi"] + dec_params["decoder_rnn"]["bh"],
+            jnp.float32,
+        )[None, :],
+        att["query"]["w"].astype(dtype),
+        proj_gate_w.astype(dtype),
+        jnp.asarray(proj_gate_b, jnp.float32)[None, :],
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(inputs)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+    )
+
+    out, align, steps = pl.pallas_call(
+        functools.partial(_kernel_batched, bool(dropout_on), S),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((max_steps, B, n_out + 1), jnp.float32),
+            jax.ShapeDtypeStruct((max_steps, B, S), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(scalars, *inputs, gate_thr)
+
+    mel = out[..., :n_out]      # (max_steps, B, n_out)
+    gate = out[..., n_out]      # (max_steps, B)
+
+    fired = jax.nn.sigmoid(gate) > gate_threshold      # (max_steps, B)
+    valid = (jnp.arange(max_steps) < steps[0])[:, None]
+    fired = fired & valid
+    any_fired = jnp.any(fired, axis=0)
+    first_fire = jnp.argmax(fired, axis=0)
+    lengths = jnp.where(any_fired, first_fire + 1, steps[0]) * r
+
+    from ...models.decoder import ungroup_mel
+
+    return (
+        ungroup_mel(mel, n_out // r, r),   # (B, n_mel, max_steps*r)
+        jnp.swapaxes(gate, 0, 1),          # (B, max_steps)
+        jnp.transpose(align, (1, 0, 2)),   # (B, max_steps, S)
         lengths,
     )

@@ -7,9 +7,13 @@ Routes (same contract as reference app.py:90-149 / demo_guide.md):
               -> {"params": {...}, "data": "<base64 wav>"}
   GET  /js/*, /css/*, /audio/*, /uploads/*  -> static files
 
-Flask isn't in this image, so the server is a stdlib ThreadingHTTPServer
-(the synthesize path is serialized with a lock — same effective behavior as
-the reference's single CUDA context behind Flask threaded=True).
+Flask isn't in this image, so the server is a stdlib ThreadingHTTPServer.
+Concurrent requests are MICRO-BATCHED (round 4): a worker thread drains the
+queue up to --max_batch requests at a time and runs ONE batched synthesis
+(Synthesizer.synthesize_batch; on TPU the fused batched decode kernel),
+so K concurrent requests cost ~one decode instead of K serialized decodes.
+The reference serializes on a single CUDA context behind Flask
+threaded=True (app.py:22,165).
 
 Deliberate fix vs the reference: the wav cache key hashes text AND the style
 parameters (the reference keys on md5(text) only, so different emotion
@@ -37,7 +41,75 @@ _BASE = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__
 _WEB = os.path.join(_BASE, "web")
 
 synthesizer = Synthesizer()
-_lock = threading.Lock()
+
+
+class MicroBatcher:
+    """Blocking submit() + a worker thread that drains the queue in groups.
+
+    The first queued request waits ``window_s`` for companions (one decode
+    step is ~100x the window), then the worker runs one batched synthesis
+    for up to ``max_batch`` requests.  Errors propagate to every request in
+    the failed batch."""
+
+    def __init__(self, run_batch, max_batch: int = 4, window_s: float = 0.01):
+        self.run_batch = run_batch
+        self.max_batch = max(1, int(max_batch))
+        self.window_s = window_s
+        self._cv = threading.Condition()
+        self._queue: list[dict] = []
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, request):
+        item = {"req": request, "done": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(item)
+            self._cv.notify()
+        item["done"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
+
+    def _run(self):
+        import time
+
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+            if self.window_s > 0:
+                time.sleep(self.window_s)  # let companions arrive
+            with self._cv:
+                batch = self._queue[: self.max_batch]
+                del self._queue[: len(batch)]
+            if not batch:
+                continue
+            try:
+                results = self.run_batch([it["req"] for it in batch])
+                for it, res in zip(batch, results):
+                    it["result"] = res
+            except Exception as e:  # noqa: BLE001 - propagate to callers
+                for it in batch:
+                    it["error"] = e
+            for it in batch:
+                it["done"].set()
+
+
+_batcher: MicroBatcher | None = None
+_batcher_lock = threading.Lock()
+_max_batch = 4
+
+
+def _get_batcher() -> MicroBatcher:
+    global _batcher
+    with _batcher_lock:
+        if _batcher is None:
+            _batcher = MicroBatcher(
+                lambda reqs: synthesizer.synthesize_batch(reqs),
+                max_batch=_max_batch,
+            )
+        return _batcher
 
 
 def _normalize_ratios(n, s, h, a):
@@ -58,9 +130,9 @@ def _audio_path(text: str, extra: str) -> str:
 def _synthesize(text, condition_on_ref, ref_audio, ratios) -> str:
     extra = ref_audio if condition_on_ref else ",".join(map(str, ratios))
     path = _audio_path(text, extra or "")
-    with _lock:
-        synthesizer.synthesize(text, path, condition_on_ref, ref_audio, ratios)
-    return path
+    return _get_batcher().submit(
+        (text, path, bool(condition_on_ref), ref_audio, ratios)
+    )
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -178,7 +250,13 @@ def main(argv=None):
     parser.add_argument("--port", default=51000, type=int)
     parser.add_argument("--debug", default=False)
     parser.add_argument("--is_korean", default=True)
+    parser.add_argument("--max_batch", default=4, type=int,
+                        help="micro-batch cap for concurrent requests "
+                             "(<= 8 rides the fused batched decode kernel)")
     args = parser.parse_args(argv)
+
+    global _max_batch
+    _max_batch = args.max_batch
 
     if os.path.exists(args.checkpoint_path):
         synthesizer.load(args.checkpoint_path, args.waveglow_path)

@@ -385,6 +385,92 @@ class Synthesizer:
             n,
         )
 
+    def synthesize_mel_batch(self, texts: Sequence[str], styles):
+        """Batched text+style -> per-item (mel, mel_post, gate, align, n).
+
+        All texts pad to ONE bucketed length (attention masks make padding
+        exact) and the batch pads to the next of {1, 2, 4, 8} rows with
+        length-1 dummies, so XLA compiles one variant per (rows, bucket) —
+        this is the serving micro-batch path (app.py queue); on TPU with
+        B <= 8 it rides the fused batched decode kernel
+        (ops/pallas/decoder_loop.decode_loop_batched)."""
+        hp = self.hparams
+        seqs = [
+            np.asarray(
+                text_to_sequence(t, list(hp.text_cleaners),
+                                 symbol_type=getattr(hp, "symbol_type", 1)),
+                np.int32,
+            )
+            for t in texts
+        ]
+        B = len(seqs)
+        bucket = max(hp.text_bucket_size, 1)
+        max_n = max(len(s) for s in seqs)
+        S = ((max_n + bucket - 1) // bucket) * bucket
+        Bp = 1
+        while Bp < B:
+            Bp *= 2
+        buf = np.zeros((Bp, S), np.int32)
+        lens = np.ones((Bp,), np.int32)
+        for i, s in enumerate(seqs):
+            buf[i, : len(s)] = s
+            lens[i] = len(s)
+        style_rows = [np.asarray(s, np.float32) for s in styles]
+        style_mat = np.zeros((Bp, style_rows[0].shape[-1]), np.float32)
+        for i, s in enumerate(style_rows):
+            style_mat[i] = s
+        self._rng, rng = jax.random.split(self._rng)
+        if self._synth_jit is None:
+            def _synth(params, state, text_ids, text_lengths, style, rng):
+                return tacotron2.infer(
+                    params, state, text_ids, style, hp, rng=rng,
+                    max_steps=hp.max_decoder_steps,
+                    text_lengths=text_lengths,
+                )
+            self._synth_jit = jax.jit(_synth)
+        mel, mel_post, gate, align, lengths = self._synth_jit(
+            self.params, self.model_state, jnp.asarray(buf),
+            jnp.asarray(lens), jnp.asarray(style_mat), rng,
+        )
+        mel = np.asarray(mel)
+        mel_post = np.asarray(mel_post)
+        gate = np.asarray(gate)
+        align = np.asarray(align)
+        r = hp.n_frames_per_step
+        out = []
+        for i in range(B):
+            n = int(lengths[i])
+            n_steps = (n + r - 1) // r
+            out.append((
+                mel[i : i + 1, :, :n],
+                mel_post[i : i + 1, :, :n],
+                gate[i : i + 1, :n_steps],
+                align[i : i + 1, :n_steps],
+                n,
+            ))
+        return out
+
+    def synthesize_batch(self, requests, vocode_prepostnet: bool = False):
+        """Batch of (text, path, condition_on_ref, ref_audio, ratios) ->
+        list of written wav paths.  One batched mel synthesis, per-item
+        vocoding (the vocoder is a tiny fraction of the step)."""
+        styles = []
+        for text, path, cond, ref, ratios in requests:
+            style = (
+                self.style_from_ref(ref) if cond
+                else self.style_from_ratios(ratios or [1.0, 0.0, 0.0, 0.0])
+            )
+            styles.append(np.asarray(style))
+        items = self.synthesize_mel_batch([r[0] for r in requests], styles)
+        paths = []
+        for (text, path, cond, ref, ratios), (mel, mel_post, *_rest) in zip(
+            requests, items
+        ):
+            wav = self.vocode(mel if vocode_prepostnet else mel_post)
+            save_wav(path, wav, self.hparams.sampling_rate)
+            paths.append(path)
+        return paths
+
     def vocode(self, mel: np.ndarray, sigma: float = 0.666) -> np.ndarray:
         """mel (1, n_mel, T) -> waveform via WaveGlow (or Griffin-Lim).
 

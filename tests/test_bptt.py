@@ -349,6 +349,44 @@ def test_pallas_kernels_bf16_stream_dtype(which):
         np.testing.assert_allclose(a / scale, b / scale, atol=4e-2)
 
 
+@pytest.mark.parametrize("which", ["fwd", "bwd", "both"])
+def test_pallas_kernels_fp16_stream_dtype(which):
+    """float16 compute_dtype (fp16_run) through the Pallas kernels,
+    interpret mode: kernel gradients must match autodiff of the XLA scan
+    run at the SAME fp16 compute dtype.  fp16 has 10 mantissa bits (vs
+    bf16's 7) but a narrow exponent — the parity concern is rounding in
+    the attention softmax/energy path, exercised here.  (Whether Mosaic
+    COMPILES f16 streams on a real chip is a separate gate — see
+    pallas_train_scan_enabled's fp16 rule and DESIGN.md.)"""
+    scan_params, prenet_seq, memory, pmem, add_mask, masks, cfg = _setup(True)
+    cfg = cfg._replace(compute_dtype="float16")
+    cfg_p = cfg._replace(
+        use_pallas_fwd=which in ("fwd", "both"),
+        use_pallas_bwd=which in ("bwd", "both"),
+        pallas_interpret=True,
+    )
+
+    def make_loss(c):
+        def loss(scan_params, prenet_seq, memory, pmem):
+            h, _, w = bptt.scan_core(
+                scan_params, prenet_seq, memory, pmem, add_mask, masks, c
+            )
+            return jnp.sum(h ** 2) + jnp.sum(w ** 3)
+        return loss
+
+    args = (scan_params, prenet_seq, memory, pmem)
+    v1, g1 = jax.value_and_grad(make_loss(cfg_p), argnums=(0, 1, 2, 3))(*args)
+    v2, g2 = jax.value_and_grad(make_loss(cfg), argnums=(0, 1, 2, 3))(*args)
+    assert np.isfinite(float(v1)) and abs(float(v1) - float(v2)) < 1e-2 * (
+        1.0 + abs(float(v2)))
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        assert np.all(np.isfinite(a))
+        scale = max(1e-3, float(np.max(np.abs(b))))
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-2)
+
+
 def test_pallas_train_scan_resolver(monkeypatch):
     """hp.use_pallas_train_scan: 'on'/'off' force; 'auto' requires a TPU
     backend, the large-scan regime, and a pinned-VMEM estimate in budget;

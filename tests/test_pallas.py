@@ -120,3 +120,85 @@ def test_kernel_matches_xla_path_r2():
     np.testing.assert_allclose(np.asarray(gate_p), np.asarray(gate_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(align_p), np.asarray(align_x),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Batched fused decode (decode_loop_batched, 1 < B <= 8)
+# ---------------------------------------------------------------------------
+
+
+def _batched_setup(B=3, S=16, r=1):
+    hp = create_hparams(TINY + (f",n_frames_per_step={r}" if r > 1 else ""))
+    params = dec.init(jax.random.PRNGKey(0), hp)
+    rng = np.random.RandomState(1)
+    memory = jnp.asarray(
+        rng.randn(B, S, hp.encoder_embedding_dim).astype(np.float32) * 0.3
+    )
+    pmem = linear(params["attention"]["memory"], memory)
+    return hp, params, memory, pmem
+
+
+def test_batched_kernel_matches_xla_path():
+    """decode_loop_batched must equal the XLA while_loop row-for-row,
+    including per-row memory masks (ragged text lengths in one batch)."""
+    B, S = 3, 16
+    hp, params, memory, pmem = _batched_setup(B, S)
+    lengths = jnp.asarray([S, S - 5, S - 9], jnp.int32)
+    mask = jnp.arange(S)[None, :] < lengths[:, None]
+    mel_x, gate_x, align_x, len_x = dec.infer(
+        params, memory, hp, rng=jax.random.PRNGKey(0), max_steps=14,
+        gate_threshold=1.1, dtype=None, prenet_dropout_enabled=False,
+        use_pallas=False, memory_lengths=lengths,
+    )
+    mel_p, gate_p, align_p, len_p = dl.decode_loop_batched(
+        params, memory, pmem, mask, max_steps=14, gate_threshold=1.1,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32",
+    )
+    np.testing.assert_array_equal(np.asarray(len_p), np.asarray(len_x))
+    np.testing.assert_allclose(np.asarray(mel_p), np.asarray(mel_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gate_p), np.asarray(gate_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(align_p), np.asarray(align_x),
+                               atol=1e-5)
+    # masked positions get zero attention in every row
+    a = np.asarray(align_p)
+    assert np.all(a[1, :, S - 5:] < 1e-6) and np.all(a[2, :, S - 9:] < 1e-6)
+
+
+def test_batched_kernel_matches_xla_path_r2():
+    B, S = 4, 16
+    hp, params, memory, pmem = _batched_setup(B, S, r=2)
+    mel_x, gate_x, align_x, len_x = dec.infer(
+        params, memory, hp, rng=jax.random.PRNGKey(0), max_steps=9,
+        gate_threshold=1.1, dtype=None, prenet_dropout_enabled=False,
+        use_pallas=False,
+    )
+    mel_p, gate_p, align_p, len_p = dl.decode_loop_batched(
+        params, memory, pmem, None, max_steps=9, gate_threshold=1.1,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32", r=2,
+    )
+    assert mel_p.shape == (B, hp.n_mel_channels, 18)
+    np.testing.assert_array_equal(np.asarray(len_p), np.asarray(len_x))
+    np.testing.assert_allclose(np.asarray(mel_p), np.asarray(mel_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gate_p), np.asarray(gate_x), atol=1e-5)
+
+
+def test_batched_kernel_gate_early_exit():
+    B, S = 2, 16
+    hp, params, memory, pmem = _batched_setup(B, S)
+    mel, gate, align, lengths = dl.decode_loop_batched(
+        params, memory, pmem, None, max_steps=20, gate_threshold=-1.0,
+        seed=0, dropout_on=False, interpret=True, dtype_name="float32",
+    )
+    assert np.all(np.asarray(lengths) == 1)
+    assert np.all(np.asarray(mel)[:, :, 1:] == 0.0)
+
+
+def test_batched_decode_supported_envelope():
+    """B gate (2..8 only) and the VMEM envelope: reference dims fit at
+    S<=160, blow up by S=256 (the banded location matrix is O(S^2 A))."""
+    A, E, H = 128, 512, 1024
+    assert not dl.batched_decode_supported(1, 64, A, E, H)
+    assert not dl.batched_decode_supported(9, 64, A, E, H)
+    assert dl.batched_decode_supported(4, 128, A, E, H)
+    assert dl.batched_decode_supported(8, 160, A, E, H)
+    assert not dl.batched_decode_supported(4, 256, A, E, H)
