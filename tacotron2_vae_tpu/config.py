@@ -191,6 +191,17 @@ class HParams:
     # via shard_map.  "on"/"off" force.  T2V_PALLAS_FWD/BWD env vars
     # override for bisection.
     use_pallas_train_scan: str = "auto"
+    # Gradient accumulation: each optimizer step runs `grad_accum_steps`
+    # micro-batches of batch_size/grad_accum_steps through the model and
+    # averages the gradients, reproducing the single big-batch gradient
+    # (the reference's summed-KL term is re-scaled so 2 x B=32 micro-steps
+    # == one B=64 step) up to the two things that are batch-grouping-
+    # dependent in ANY framework: batchnorm batch statistics and per-micro
+    # dropout/VAE RNG draws.  tests/test_train.py pins exact equivalence
+    # with those held fixed.  Levers: effective batches beyond device
+    # memory, and the measured per-step Pallas-kernel sweet spots at
+    # smaller B (DESIGN.md batch sweep) at unchanged update semantics.
+    grad_accum_steps: int = 1
     # Compute dtype inside the decoder recurrence.  "auto" (default) picks
     # per measured v5e regimes: compute_dtype (bf16) streams for large B*S
     # scans (HBM-bound), fp32 for small ones (latency-bound, where the casts
@@ -332,6 +343,15 @@ def create_hparams(hparams_string: str | None = None, verbose: bool = False) -> 
         raise ValueError(
             f"use_pallas_train_scan={hp.use_pallas_train_scan!r} must be "
             "'auto', 'on', or 'off'"
+        )
+    if hp.grad_accum_steps < 1:
+        raise ValueError(
+            f"grad_accum_steps={hp.grad_accum_steps} must be >= 1"
+        )
+    if hp.grad_accum_steps > 1 and hp.batch_size % hp.grad_accum_steps != 0:
+        raise ValueError(
+            f"batch_size={hp.batch_size} must be divisible by "
+            f"grad_accum_steps={hp.grad_accum_steps}"
         )
     # ref-encoder conv geometry is accepted for config-surface parity but
     # fixed at the reference values (3x3, stride 2, pad 1 — modules.py:56-60)

@@ -310,8 +310,20 @@ def make_waveglow_train_step(cfg: WaveGlowConfig, optimizer,
             return waveglow_loss(z, log_s, log_det, sigma)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return opt_state, params, loss
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # Flow NLLs blow up on rare segments (log_s spikes through exp);
+        # one poisoned update NaNs the weights permanently — skip the whole
+        # update when loss or grads go non-finite (same guard as the
+        # Tacotron2 step, train_state.py; observed for real at ~29k steps
+        # of the round-4 vocoder run).
+        ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        new_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params
+        )
+        new_opt_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(ok, new, old), new_opt_state, opt_state
+        )
+        return new_opt_state, new_params, loss
 
     return step

@@ -78,9 +78,21 @@ def create_train_state(rng, hp, learning_rate=None) -> TrainState:
 
 
 def make_train_step(hp, learning_rate=None):
-    """Returns a pure (state, batch, rng) -> (state, metrics) step function."""
+    """Returns a pure (state, batch, rng) -> (state, metrics) step function.
+
+    With ``grad_accum_steps = a > 1`` the batch splits into ``a``
+    micro-batches run sequentially under one update, with gradients that
+    match the single big-batch step (up to batchnorm batch statistics and
+    per-micro RNG draws): the mel/gate terms are means (mean of equal-size
+    micro-means == big-batch mean) while the reference's KL term is a SUM
+    over the batch (loss_function.py:39), so each micro-batch's KL
+    contribution is scaled by ``a`` before the 1/a gradient average.
+    Reported metrics follow the same convention (kl_loss = sum over the
+    full batch).  Batchnorm running stats chain through the micro-batches
+    sequentially."""
     opt = make_optimizer(hp, learning_rate)
     scaler = make_loss_scaler(hp)
+    accum = max(1, int(getattr(hp, "grad_accum_steps", 1)))
     if hp.fp16_run:
         hp = hp.replace(compute_dtype="float16")
 
@@ -96,9 +108,72 @@ def make_train_step(hp, learning_rate=None):
             )
             return total * scale, (total, aux, new_mstate)
 
-        (_, (total, aux, new_mstate)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(ts.params)
+        if accum > 1:
+            def split(x):
+                if x.shape[0] % accum != 0:
+                    raise ValueError(
+                        f"batch dim {x.shape[0]} not divisible by "
+                        f"grad_accum_steps={accum}"
+                    )
+                return x.reshape((accum, x.shape[0] // accum) + x.shape[1:])
+
+            micro_batches = jax.tree_util.tree_map(split, batch)
+            micro_rngs = jax.random.split(rng, accum)
+
+            def micro_loss(params, mstate, b, r):
+                out, new_m = tacotron2.forward(
+                    params, mstate, b, hp, train=True, rng=r
+                )
+                total_m, aux_m = tacotron2_vae_loss(
+                    out, b["mel"], b["gate"], ts.step, hp
+                )
+                # big-batch-equivalent objective: KL is summed over the
+                # batch, so weight each micro-batch's KL by `accum` before
+                # the 1/accum gradient average
+                grad_total = (
+                    aux_m["recon_loss"]
+                    + aux_m["kl_weight"] * accum * aux_m["kl_loss"]
+                )
+                return grad_total * scale, (aux_m, new_m)
+
+            def body(carry, inp):
+                g_acc, sums, mstate = carry
+                b, r = inp
+                (_, (aux_m, new_m)), g = jax.value_and_grad(
+                    micro_loss, has_aux=True
+                )(ts.params, mstate, b, r)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                new_sums = {
+                    k: sums[k] + aux_m[k]
+                    for k in ("recon_loss", "mel_loss", "gate_loss", "kl_loss")
+                }
+                new_sums["kl_weight"] = aux_m["kl_weight"]
+                return (g_acc, new_sums, new_m), None
+
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), ts.params
+            )
+            sums0 = {k: jnp.float32(0.0) for k in
+                     ("recon_loss", "mel_loss", "gate_loss", "kl_loss",
+                      "kl_weight")}
+            (g_sum, sums, new_mstate), _ = jax.lax.scan(
+                body, (g0, sums0, ts.model_state),
+                (micro_batches, micro_rngs),
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+            kl_weight = sums["kl_weight"]
+            aux = {
+                "recon_loss": sums["recon_loss"] / accum,
+                "mel_loss": sums["mel_loss"] / accum,
+                "gate_loss": sums["gate_loss"] / accum,
+                "kl_loss": sums["kl_loss"],  # summed-KL big-batch convention
+                "kl_weight": kl_weight,
+            }
+            total = aux["recon_loss"] + kl_weight * aux["kl_loss"]
+        else:
+            (_, (total, aux, new_mstate)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(ts.params)
         if scaler is not None:
             # fp16 grads can overflow to inf; pin them to ONE materialization
             # so the overflow check and the optimizer see the same values

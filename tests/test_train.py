@@ -376,3 +376,90 @@ class TestParallel:
         assert p_shard["decoder"]["rnn"]["w"].spec == P()
         assert o_shard[0]["mu"]["prenet"]["l0"]["w"].spec == P(None, "model")
         assert o_shard[0]["mu"]["decoder"]["rnn"]["w"].spec == P()
+
+
+class TestGradAccumulation:
+    """grad_accum_steps: a * micro-batches == one big-batch update."""
+
+    def test_big_batch_gradient_equivalence(self, monkeypatch):
+        """With stochasticity neutralized (dropout -> identity, VAE eps -> 0)
+        and a batch whose two halves are identical (so batchnorm batch
+        statistics agree between micro and full batch), accum=2 must
+        produce the SAME gradients as the single big-batch step — including
+        the summed-KL rescaling (a micro-batch sums KL over B/2 rows; the
+        big batch over B).  The optimizer is swapped for plain SGD(1.0) so
+        updated params ARE the gradients: Adam's step-1 update g/|g| is
+        scale-invariant (it would hide a wrong KL factor) and amplifies
+        float noise on analytically-zero grads (conv biases feeding
+        batchnorm) into sign-level differences."""
+        import optax
+
+        from tacotron2_vae_tpu.models import decoder as dec_mod
+        from tacotron2_vae_tpu.models import encoder as enc_mod
+        from tacotron2_vae_tpu.models import postnet as post_mod
+        from tacotron2_vae_tpu.training import train_state as ts_mod
+
+        monkeypatch.setattr(
+            ts_mod, "make_optimizer", lambda hp, lr=None: optax.scale(-1.0)
+        )
+        ident = lambda key, x, p, enabled=True: x
+        monkeypatch.setattr(dec_mod, "dropout", ident)
+        monkeypatch.setattr(enc_mod, "dropout", ident)
+        monkeypatch.setattr(post_mod, "dropout", ident)
+        real_normal = jax.random.normal
+        monkeypatch.setattr(
+            jax.random, "normal",
+            lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype),
+        )
+        try:
+            hp1 = create_hparams(
+                TINY + ",p_attention_dropout=0.0,p_decoder_dropout=0.0,"
+                "batch_size=4"
+            )
+            hp2 = hp1.replace(grad_accum_steps=2)
+            half = _batch(hp1, B=2, S=12, T=24, seed=3)
+            batch = {k: jnp.concatenate([v, v], axis=0)
+                     for k, v in half.items()}
+
+            ts0 = create_train_state(jax.random.PRNGKey(0), hp1)
+            rng = jax.random.PRNGKey(42)
+            ts1, m1 = jax.jit(make_train_step(hp1))(ts0, batch, rng)
+            ts2, m2 = jax.jit(make_train_step(hp2))(ts0, batch, rng)
+
+            assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4, (
+                float(m1["loss"]), float(m2["loss"]))
+            assert abs(float(m1["kl_loss"]) - float(m2["kl_loss"])) < 1e-3
+            # params after SGD(1.0): p - g, identical p0 => grads compare
+            for (p0, a, b) in zip(jax.tree_util.tree_leaves(ts0.params),
+                                  jax.tree_util.tree_leaves(ts1.params),
+                                  jax.tree_util.tree_leaves(ts2.params)):
+                g1 = np.asarray(p0) - np.asarray(a)
+                g2 = np.asarray(p0) - np.asarray(b)
+                scale = max(1e-3, float(np.max(np.abs(g1))))
+                # atol floor: analytically-zero grads (conv biases feeding BN)
+                # carry ~1e-7 reduction noise against the 1e-3 scale floor;
+                # a wrong KL factor shows as O(1) normalized error
+                np.testing.assert_allclose(g1 / scale, g2 / scale, atol=5e-4)
+        finally:
+            monkeypatch.setattr(jax.random, "normal", real_normal)
+
+    def test_accum_training_descends(self):
+        hp2 = create_hparams(TINY + ",batch_size=4").replace(
+            grad_accum_steps=2)
+        ts = create_train_state(jax.random.PRNGKey(0), hp2)
+        step = jax.jit(make_train_step(hp2))
+        batch = _batch(hp2, B=4)
+        losses = []
+        for i in range(60):
+            ts, metrics = step(ts, batch, jax.random.PRNGKey(2000 + i))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-10:]) < 0.75 * np.mean(losses[:10])
+
+    def test_validation_rejects_bad_accum(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="grad_accum_steps"):
+            create_hparams("grad_accum_steps=0")
+        with _pytest.raises(ValueError, match="divisible"):
+            create_hparams("batch_size=6,grad_accum_steps=4")
