@@ -1,9 +1,13 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Headline (BASELINE.json): teacher-forced mel frames/sec/chip on the full-size
-Tacotron2-VAE model.  Extra context fields (inference RTF, step latency) ride
-in the same JSON object.  The reference publishes no numbers (BASELINE.md),
-so vs_baseline is null.
+Tacotron2-VAE model.  Extra context fields ride in the same JSON object:
+step latency/MFU at B=64 (r=1 and the r=2 throughput recipe), device
+capability probes + the scan roofline, input-pipeline throughput, serving
+RTF (B=1 fused kernel, r=2, and the B=4 batched decode kernel per-stream),
+WaveGlow inference RTF at the full NVIDIA size, and the TRUE end-to-end
+text->wav RTF (BASELINE.md's < 0.05 target).  The reference publishes no
+numbers (BASELINE.md), so vs_baseline is null.
 """
 
 from __future__ import annotations
@@ -127,19 +131,18 @@ def main():
         flops_per_step = float(ca.get("flops", 0.0)) or None
     except Exception:
         pass
-    if flops_per_step:
-        kind = jax.devices()[0].device_kind.lower()
-        peak = None
-        for key, val in (
-            ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
-            ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12),
-            ("v3", 123e12), ("v2", 45e12),
-        ):
-            if key in kind:
-                peak = val
-                break
-        if peak:
-            mfu_b64 = flops_per_step / dt64 / peak
+    kind = jax.devices()[0].device_kind.lower()
+    peak = None
+    for key, val in (
+        ("v5 lite", 197e12), ("v5e", 197e12), ("v5p", 459e12),
+        ("v6 lite", 918e12), ("v6e", 918e12), ("v4", 275e12),
+        ("v3", 123e12), ("v2", 45e12),
+    ):
+        if key in kind:
+            peak = val
+            break
+    if flops_per_step and peak:
+        mfu_b64 = flops_per_step / dt64 / peak
 
     # --- Device capability probes.  Two rules, both learned the hard way:
     # chain the op inside ONE jit (a single dispatched 4096^3 matmul reads
@@ -232,21 +235,35 @@ def main():
     # reference, hparams.py:87) halves the sequential scan length — the
     # dominant step cost — for a large opt-in throughput win.
     mark("r2_train")
-    frames_per_sec_b64_r2 = None
+    frames_per_sec_b64_r2 = mfu_b64_r2 = flops_per_step_r2 = None
     if time.perf_counter() - t_start < float(
-        os.environ.get("BENCH_BUDGET_S", "420")
+        os.environ.get("BENCH_BUDGET_S", "520")
     ):
         try:
             hp2 = create_hparams("batch_size=64,n_frames_per_step=2")
-            step2 = jax.jit(make_train_step(hp2))
+            step2_fn = jax.jit(make_train_step(hp2))
             ts2 = create_train_state(jax.random.PRNGKey(0), hp2)
-            ts2, m2 = step2(ts2, batch64, jax.random.PRNGKey(0))
+            # AOT compile: the executable serves timing AND cost analysis
+            # (r=2 is the documented throughput recipe — its MFU is the
+            # flagship number, see DESIGN.md "throughput recipe").
+            compiled2 = step2_fn.lower(
+                ts2, batch64, jax.random.PRNGKey(0)).compile()
+            ts2, m2 = compiled2(ts2, batch64, jax.random.PRNGKey(0))
             float(m2["loss"])
             t0 = time.perf_counter()
             for i in range(8):
-                ts2, m2 = step2(ts2, batch64, jax.random.PRNGKey(i))
+                ts2, m2 = compiled2(ts2, batch64, jax.random.PRNGKey(0))
             float(m2["loss"])
-            frames_per_sec_b64_r2 = B2 * T / ((time.perf_counter() - t0) / 8)
+            dt_r2 = (time.perf_counter() - t0) / 8
+            frames_per_sec_b64_r2 = B2 * T / dt_r2
+            try:
+                ca2 = compiled2.cost_analysis()
+                ca2 = ca2[0] if isinstance(ca2, (list, tuple)) else ca2
+                flops_per_step_r2 = float(ca2.get("flops", 0.0)) or None
+            except Exception:
+                pass
+            if flops_per_step_r2 and peak:
+                mfu_b64_r2 = flops_per_step_r2 / dt_r2 / peak
             del ts2
         except Exception:
             import traceback
@@ -258,7 +275,7 @@ def main():
     mark("xla_scan_variant")
     frames_per_sec_b64_xla_scan = None
     if time.perf_counter() - t_start < float(
-        os.environ.get("BENCH_BUDGET_S", "420")
+        os.environ.get("BENCH_BUDGET_S", "520")
     ):
         try:
             hp_xla = create_hparams(
@@ -374,7 +391,7 @@ def main():
     # The fused Pallas kernel compiles slowly through the remote-TPU tunnel
     # on a cold cache; skip it if the soft budget is already spent (the JSON
     # line must be printed before any external timeout).
-    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("BENCH_BUDGET_S", "520"))
     rtf = rtf_xla
     if time.perf_counter() - t_start < budget:
         try:
@@ -422,6 +439,74 @@ def main():
                     rtf_r2 = min(rtf_r2, time_synth_r2(True))
                 except Exception:
                     pass
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+
+    # Batched fused serving decode: 4 concurrent streams through ONE Pallas
+    # decode kernel (the serving micro-batch queue's path, app.py).  The
+    # per-stream wall RTF should sit far under 4x the sequential B=1 RTF —
+    # the step is weight-stream/latency-bound, so 4 rows ride almost free.
+    mark("serving_rtf_b4")
+    rtf_b4 = None
+    if time.perf_counter() - t_start < budget:
+        try:
+            text4 = jax.numpy.asarray(
+                rng.randint(2, hp.n_symbols, size=(4, 64)).astype(np.int32))
+            style4 = jax.numpy.zeros((4, hp.E))
+
+            def synth_b4(params, state, text, style, rng):
+                return tacotron2.infer(
+                    params, state, text, style, hp, rng=rng, max_steps=600,
+                    gate_threshold=1.1, prenet_dropout_enabled=True,
+                    use_pallas=True,
+                )
+
+            synth4_j = jax.jit(synth_b4)
+            out4 = synth4_j(params, state, text4, style4,
+                            jax.random.PRNGKey(0))
+            float(out4[4][0])
+            t0 = time.perf_counter()
+            for i in range(3):
+                out4 = synth4_j(params, state, text4, style4,
+                                jax.random.PRNGKey(i))
+                float(out4[4][0])
+            rtf_b4 = (time.perf_counter() - t0) / 3 / audio_secs
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+
+    # WaveGlow vocoder INFERENCE RTF at the full NVIDIA size (12 flows x
+    # 8 layers x 256 ch, random weights — timing is weight-value-agnostic)
+    # on the same 600-frame mel, and the TRUE end-to-end text->wav RTF =
+    # text->mel RTF + mel->wav RTF over the same 9.6 s of audio.  This is
+    # the reference's actual serving cost (synthesizer.py:163 vocodes every
+    # request) and BASELINE.md's < 0.05 target metric.
+    mark("waveglow_infer")
+    wg_infer_rtf = end_to_end_rtf = None
+    if time.perf_counter() - t_start < budget:
+        try:
+            from tacotron2_vae_tpu.models import waveglow as wgm
+
+            wg_cfg = wgm.WaveGlowConfig()
+            wg_p = wgm.init(jax.random.PRNGKey(0), wg_cfg)
+            mel600 = jax.numpy.asarray(
+                (rng.randn(1, 80, 600) * 0.3).astype(np.float32))
+            wav = wgm.infer(wg_p, mel600, wg_cfg, sigma=0.666,
+                            key=jax.random.PRNGKey(0),
+                            dtype_name="bfloat16")
+            float(wav[0, 0])
+            t0 = time.perf_counter()
+            for i in range(3):
+                wav = wgm.infer(wg_p, mel600, wg_cfg, sigma=0.666,
+                                key=jax.random.PRNGKey(i),
+                                dtype_name="bfloat16")
+                float(wav[0, 0])
+            wg_infer_rtf = (time.perf_counter() - t0) / 3 / audio_secs
+            end_to_end_rtf = rtf + wg_infer_rtf
+            del wg_p
         except Exception:
             import traceback
 
@@ -491,6 +576,9 @@ def main():
                 "frames_per_sec_batch64_r2": (
                     round(frames_per_sec_b64_r2, 1)
                     if frames_per_sec_b64_r2 else None),
+                "flops_per_step_batch64_r2": flops_per_step_r2,
+                "mfu_batch64_r2": (
+                    round(mfu_b64_r2, 4) if mfu_b64_r2 else None),
                 "frames_per_sec_batch64_xla_scan": (
                     round(frames_per_sec_b64_xla_scan, 1)
                     if frames_per_sec_b64_xla_scan else None),
@@ -503,6 +591,12 @@ def main():
                 "inference_rtf_r2": round(rtf_r2, 4) if rtf_r2 else None,
                 "inference_rtf_r2_xla": (
                     round(rtf_r2_xla, 4) if rtf_r2_xla else None),
+                "inference_rtf_b4_batched_per_stream": (
+                    round(rtf_b4, 4) if rtf_b4 else None),
+                "waveglow_infer_rtf": (
+                    round(wg_infer_rtf, 4) if wg_infer_rtf else None),
+                "end_to_end_rtf": (
+                    round(end_to_end_rtf, 4) if end_to_end_rtf else None),
                 "waveglow_train_samples_per_sec": (
                     round(wg_samples_per_sec, 1)
                     if wg_samples_per_sec else None),
