@@ -541,6 +541,38 @@ a koemo-format corpus and re-running `train`/`assets`.
 """
 
 
+def _eval_vocoder(synth, wav_path: str) -> str:
+    """Objective vocoder check on a GROUND-TRUTH val mel: vocode it with
+    the trained WaveGlow and with Griffin-Lim, re-featurize both outputs,
+    and report mean-|Δ| log-mel distance to the target mel.  (Copy-synthesis
+    sidesteps the TTS model, isolating vocoder quality.)"""
+    mel_t = np.asarray(synth.load_mel(wav_path))  # (1, 80, T)
+    T = mel_t.shape[2]
+
+    def roundtrip(wav):
+        n = min(len(wav), (T - 1) * synth.hparams.hop_length)
+        wav = np.clip(np.asarray(wav[:n], np.float32), -1.0, 1.0)
+        m = np.asarray(synth.stft.mel_spectrogram(wav[None]))
+        k = min(m.shape[2], T)
+        return float(np.mean(np.abs(m[:, :, :k] - mel_t[:, :, :k])))
+
+    wav_wg = synth.vocode(mel_t)
+    saved_wg = synth.waveglow
+    try:
+        synth.waveglow = None  # force the Griffin-Lim path
+        wav_gl = synth.vocode(mel_t)
+    finally:
+        synth.waveglow = saved_wg
+    err_wg, err_gl = roundtrip(wav_wg), roundtrip(wav_gl)
+    return (
+        f"\nCopy-synthesis check on a held-out val mel (vocode the "
+        f"ground-truth mel, re-featurize, mean |Δlog-mel| vs target): "
+        f"**WaveGlow {err_wg:.3f}** vs Griffin-Lim {err_gl:.3f} "
+        f"(lower is better; Griffin-Lim's phase-recovery artifacts and "
+        f"pinv-mel magnitude folding set its floor)."
+    )
+
+
 def run_samples(workdir: str, out_dir: str):
     """Refresh samples/generated from the curve-run checkpoint (all four
     reference inference recipes through the serving layer).  In-process:
@@ -581,6 +613,9 @@ def run_samples(workdir: str, out_dir: str):
     demo.cmd_interp(ns(frm="sad", to="hap"), synth)
     demo.cmd_mix(ns(ratios="0.25,0.25,0.25,0.25"), synth)
     steps = int(ckpt.rsplit("_", 1)[1])
+    vocoder_eval = ""
+    if waveglow:
+        vocoder_eval = _eval_vocoder(synth, ref_wav)
     if waveglow:
         vocoder_para = (
             "The audio is vocoded with a **WaveGlow trained inside this "
@@ -603,7 +638,7 @@ def run_samples(workdir: str, out_dir: str):
         "emotion-conditional curve/latent behavior (see res/README.md), "
         "not human speech quality.  With the real Korean Emotion Speech "
         "dataset the same commands produce the reference's demo outputs."
-    )
+    ) + vocoder_eval
     with open(os.path.join(out_dir, "README.md"), "w") as f:
         f.write(SAMPLES_README.format(steps_k=round(steps / 1000),
                                       vocoder_para=vocoder_para))
