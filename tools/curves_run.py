@@ -567,9 +567,13 @@ def _eval_vocoder(synth, wav_path: str) -> str:
     return (
         f"\nCopy-synthesis check on a held-out val mel (vocode the "
         f"ground-truth mel, re-featurize, mean |Δlog-mel| vs target): "
-        f"**WaveGlow {err_wg:.3f}** vs Griffin-Lim {err_gl:.3f} "
-        f"(lower is better; Griffin-Lim's phase-recovery artifacts and "
-        f"pinv-mel magnitude folding set its floor)."
+        f"**WaveGlow {err_wg:.3f}**, Griffin-Lim {err_gl:.3f}.  Lower is "
+        f"better, but the metric structurally favors Griffin-Lim (its 30 "
+        f"iterations directly optimize spectral consistency against the "
+        f"target magnitudes, while WaveGlow samples audio with "
+        f"sigma=0.666 noise); it is reported to show the trained flow "
+        f"reconstructs the conditioning mel, not as a listening-quality "
+        f"ranking."
     )
 
 
