@@ -727,9 +727,10 @@ def pallas_train_scan_enabled(hp, B: int, S: int, itemsize: int = 2,
     # still forces, and interpret-mode tests cover odd dims).
     if hp.attention_dim % 128 != 0 or hp.attention_rnn_dim % 128 != 0:
         return False
-    # fp16_run streams float16 — the TPU MXU is bf16 hardware and the
-    # kernels are only validated for bf16/fp32 streams; keep auto off
-    # there (the XLA scan handles fp16 fine).
+    # fp16_run streams float16 — hardware-pinned: Mosaic REJECTS the
+    # f16-stream kernel at reference dims on v5e (tools/fp16_kernel_probe.py,
+    # remote-compile exit 1) while the same shape compiles at bf16; keep
+    # auto off there (the XLA scan handles fp16 fine).
     if getattr(hp, "fp16_run", False) or hp.compute_dtype == "float16":
         return False
     # Ceiling calibrated on v5e hardware at reference dims, bf16 streams:

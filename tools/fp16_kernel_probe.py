@@ -39,7 +39,7 @@ def main():
     p.add_argument("--s", type=int, default=128)
     p.add_argument("--t", type=int, default=256)
     p.add_argument("--dtype", default="float16",
-                   choices=["float16", "bfloat16"])
+                   choices=["float16", "bfloat16", "float32"])
     p.add_argument("--interpret", action="store_true",
                    help="Pallas interpreter (CPU smoke of this script)")
     args = p.parse_args()
@@ -106,21 +106,59 @@ def main():
     v2 = float(v2)
     g2 = jax.tree_util.tree_map(np.asarray, g2)
 
-    rel_errs = []
-    finite = True
-    for a, b in zip(jax.tree_util.tree_leaves(g1),
-                    jax.tree_util.tree_leaves(g2)):
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        finite &= bool(np.all(np.isfinite(a)))
-        scale = max(1e-3, float(np.max(np.abs(b))))
-        rel_errs.append(float(np.max(np.abs(a - b)) / scale))
+    # fp32-stream XLA autodiff as ground truth: two low-precision
+    # implementations (Pallas vs XLA at the same compute dtype) can
+    # legitimately diverge from EACH OTHER through T steps of recurrence
+    # while being equally good approximations of the true gradient — the
+    # meaningful check is whether the kernel sits the same distance from
+    # fp32 truth as the XLA scan does, not whether their roundings agree.
+    v_ref, g_ref = jax.jit(jax.value_and_grad(
+        make_loss(cfg._replace(compute_dtype="float32")),
+        argnums=(0, 1, 2, 3)))(*argsv)
+    g_ref = jax.tree_util.tree_map(np.asarray, g_ref)
+
+    leaf_names = (
+        [f"p.{k}" for k, _ in sorted(scan_params.items())]
+        + ["prenet_seq", "memory", "pmem"]
+    )
+
+    def dist(g, ref):
+        """max over leaves of max|g-ref| / max|ref| (floor 1e-3)."""
+        errs = []
+        for a, b in zip(jax.tree_util.tree_leaves(g),
+                        jax.tree_util.tree_leaves(ref)):
+            a = np.asarray(a, np.float32)
+            b = np.asarray(b, np.float32)
+            scale = max(1e-3, float(np.max(np.abs(b))))
+            errs.append(float(np.max(np.abs(a - b)) / scale))
+        return errs
+
+    finite = all(
+        bool(np.all(np.isfinite(np.asarray(a, np.float32))))
+        for a in jax.tree_util.tree_leaves(g1)
+    )
+    err_pallas = dist(g1, g_ref)   # kernel vs fp32 truth
+    err_xla = dist(g2, g_ref)      # low-precision XLA vs fp32 truth
+    err_mutual = dist(g1, g2)      # the two roundings vs each other
+    # kernel is "as good as" the XLA scan when its distance to truth is
+    # within 2x of XLA's own rounding distance on every leaf (plus an
+    # absolute floor for leaves where XLA is nearly exact)
+    ratio = max(
+        p / max(x, 1e-3) for p, x in zip(err_pallas, err_xla)
+    )
     out.update({
-        "value_pallas": v1, "value_xla": v2,
+        "value_pallas": v1, "value_xla": v2, "value_fp32": float(v_ref),
         "value_ok": abs(v1 - v2) < 1e-2 * (1 + abs(v2)),
         "grads_finite": finite,
-        "max_rel_err": round(max(rel_errs), 5),
-        "grad_ok": finite and max(rel_errs) < 4e-2,
+        "max_rel_err_pallas_vs_fp32": round(max(err_pallas), 5),
+        "max_rel_err_xla_vs_fp32": round(max(err_xla), 5),
+        "max_rel_err_mutual": round(max(err_mutual), 5),
+        "worst_truth_ratio_pallas_over_xla": round(ratio, 3),
+        "grad_ok": finite and ratio < 2.0,
+        "per_leaf": {
+            n: {"pallas_vs_fp32": round(p, 5), "xla_vs_fp32": round(x, 5)}
+            for n, p, x in zip(leaf_names, err_pallas, err_xla)
+        },
     })
     print(json.dumps(out))
 
