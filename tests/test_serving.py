@@ -177,6 +177,48 @@ def test_centroid_eviction_spares_prefix_sibling_checkpoint(artifacts, tmp_path)
     assert sib[0] in os.listdir(sdir)
 
 
+def test_waveglow_export_self_describing(artifacts, tmp_path):
+    """`tools/train_waveglow.py --export` writes a self-describing pickle
+    {"waveglow": params, "config": asdict(cfg)} (possibly float16 storage).
+    Synthesizer.load must adopt the EMBEDDED config over its own default and
+    upcast storage to float32 before vocoding — otherwise a vocoder trained
+    at a non-default size (e.g. reduced flows) desyncs from the serving
+    config and the flow inversion produces garbage shapes."""
+    import dataclasses
+
+    from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+    d, hp, ckpt, _, filelist = artifacts
+    alt_cfg = wg.WaveGlowConfig(
+        n_flows=3, n_group=8, n_early_every=2, n_early_size=2,
+        n_layers=2, n_channels=8,
+    )
+    alt_params = wg.init(jax.random.PRNGKey(7), alt_cfg)
+    export = str(tmp_path / "wg_export.pkl")
+    with open(export, "wb") as f:
+        pickle.dump(
+            {
+                "waveglow": jax.tree_util.tree_map(
+                    lambda x: np.asarray(x, np.float16),
+                    jax.device_get(alt_params)),
+                "config": dataclasses.asdict(alt_cfg),
+            },
+            f,
+        )
+
+    synth = Synthesizer(hp)  # default waveglow_cfg: NOT alt_cfg
+    synth.load(ckpt, export, centroid_filelist=filelist)
+    assert synth.waveglow_cfg == alt_cfg  # embedded config adopted
+    leaves = jax.tree_util.tree_leaves(synth.waveglow)
+    assert all(np.asarray(p).dtype == np.float32 for p in leaves)
+
+    T = 24
+    mel = np.zeros((1, hp.n_mel_channels, T), np.float32) - 4.0
+    wav = np.asarray(synth.vocode(mel))
+    assert wav.ndim == 1 and len(wav) >= T * hp.hop_length * 3 // 4
+    assert np.all(np.isfinite(wav))
+
+
 def test_centroid_precompute_skips_sub_pad_clips(artifacts, tmp_path):
     """One sub-pad-length clip in the manifest must not abort the bulk
     centroid featurization (it is skipped like an unreadable file)."""
