@@ -168,6 +168,17 @@ class HParams:
     mel_cache: bool = True
     # Batches prefetched ahead of the train step by the background pipeline.
     prefetch_depth: int = 2
+    # Per-iteration metric logging is kept (reference train.py logs loss
+    # every step), but the HOST fetch is windowed: a window of step-metric
+    # device handles is packed on device by a tiny jitted stack and fetched
+    # in ONE transfer, so the host pays one tunnel round trip per `window`
+    # steps instead of per step.  Over a remote-chip link EVERY blocking
+    # fetch costs a full RTT (~150-200 ms on the axon tunnel) regardless of
+    # whether the data is already computed — against a ~50 ms train step a
+    # synchronous per-step fetch triples wall time.  Log lines/CSV rows are
+    # bit-identical, just up to 2*window steps late.  1 = reference-exact
+    # synchronous behavior.
+    log_fetch_window: int = 16
     # Batch-assembly thread-pool width (torch DataLoader num_workers analog,
     # reference train.py:61; np.load + native collate release the GIL).
     num_workers: int = 4

@@ -18,6 +18,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import create_hparams
@@ -161,8 +162,55 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
 
         logger = Tacotron2Logger(os.path.join(output_directory, log_directory))
 
+    from collections import deque
+
     from ..data.prefetch import prefetch
 
+    # Windowed metric fetch (hp.log_fetch_window): the step call is async —
+    # fetching its scalars immediately blocks the host for a full tunnel
+    # round trip (~150-200 ms against a ~50 ms step; and on a remote-chip
+    # link EVERY blocking fetch pays that RTT, computed-or-not, so merely
+    # deferring per-step fetches does not help).  Instead, device metric
+    # handles queue here and a whole window is packed ON DEVICE into one
+    # (K, 5) array by a trivial jitted stack and fetched in a SINGLE
+    # transfer: one RTT per K steps instead of per step.  Per-iteration
+    # log lines/CSV rows are preserved exactly (reference train.py
+    # semantics); they just materialize up to 2*window steps late.
+    log_keys = ("loss", "grad_norm", "kl_loss", "kl_weight", "recon_loss")
+
+    @jax.jit
+    def _pack_metrics(ms):
+        return jnp.stack(
+            [jnp.stack([m[k] for k in log_keys]) for m in ms]
+        )
+
+    pending: deque = deque()
+    last_log_t = time.perf_counter()
+
+    def drain(n):
+        nonlocal last_log_t
+        take = [pending.popleft() for _ in range(n)]
+        vals = np.asarray(_pack_metrics(tuple(m for _, m in take)))
+        now = time.perf_counter()
+        per_step = (now - last_log_t) / n  # wall per step in steady state
+        last_log_t = now
+        for row, (it, _) in enumerate(take):
+            loss = float(vals[row, 0])
+            if np.isfinite(loss):
+                print(
+                    f"Train loss {it} {loss:.6f} Grad Norm "
+                    f"{vals[row, 1]:.6f} {per_step:.2f}s/it"
+                )
+                if logger:
+                    logger.log_training(
+                        loss, float(vals[row, 1]), learning_rate,
+                        per_step, float(vals[row, 2]),
+                        float(vals[row, 3]), float(vals[row, 4]), it,
+                    )
+            else:
+                print(f"Train loss {it} non-finite; update skipped")
+
+    window = max(1, hp.log_fetch_window)
     for epoch in range(epoch_offset, hp.epochs):
         print(f"Epoch: {epoch}")
         # Featurize + device_put run in a background thread, `prefetch_depth`
@@ -172,28 +220,15 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
             depth=max(1, hp.prefetch_depth),
             transform=lambda b: shard_batch(b.asdict(), mesh),
         ):
-            t0 = time.perf_counter()
             rng, step_rng = jax.random.split(rng)
             ts, metrics = train_step(ts, batch, step_rng)
-            loss = float(metrics["loss"])  # also syncs the step
-            duration = time.perf_counter() - t0
-
-            if np.isfinite(loss):
-                print(
-                    f"Train loss {iteration} {loss:.6f} Grad Norm "
-                    f"{float(metrics['grad_norm']):.6f} {duration:.2f}s/it"
-                )
-                if logger:
-                    logger.log_training(
-                        loss, float(metrics["grad_norm"]), learning_rate,
-                        duration, float(metrics["kl_loss"]),
-                        float(metrics["kl_weight"]),
-                        float(metrics["recon_loss"]), iteration,
-                    )
-            else:
-                print(f"Train loss {iteration} non-finite; update skipped")
+            pending.append((iteration, metrics))
+            if len(pending) >= 2 * window:
+                drain(window)  # oldest window: its data is long computed
 
             if iteration % hp.iters_per_checkpoint == 0 and iteration > 0:
+                if pending:  # sync the log before validating/saving
+                    drain(len(pending))
                 rng, val_rng = jax.random.split(rng)
                 val_loss, val_aux, last = validate(
                     eval_step, ts, val_loader, val_rng
@@ -211,6 +246,8 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
                 print(f"Saved checkpoint: {ckpt}")
             iteration += 1
 
+    if pending:  # final drain
+        drain(len(pending))
     return ts, iteration
 
 

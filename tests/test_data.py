@@ -304,6 +304,25 @@ def test_dataloader_fixed_lengths_uniform_shapes(hp):
     }
 
 
+def test_windowed_metric_fetch_keeps_every_csv_row(hp, tmp_path):
+    """hp.log_fetch_window defers the host fetch of step metrics (step i is
+    logged at step i+window so the device pipeline never drains on the
+    tunnel's completion latency) — but per-iteration logging is a reference
+    semantic (train.py prints/logs loss every step): every iteration must
+    still land exactly once in metrics.csv, in order, including the final
+    in-flight steps at loop exit."""
+    import csv
+
+    from tacotron2_vae_tpu.training.train import train
+
+    outdir = str(tmp_path / "out")
+    train(outdir, "logs", None, False,
+          hp.replace(epochs=3, log_fetch_window=5))  # window > epoch length
+    with open(os.path.join(outdir, "logs", "metrics.csv")) as f:
+        its = [int(row["iteration"]) for row in csv.DictReader(f)]
+    assert its == [0, 1, 2, 3, 4, 5]  # 3 epochs x 2 iters, no gaps/dupes
+
+
 def test_end_to_end_train_and_resume(hp, tmp_path):
     from tacotron2_vae_tpu.training.train import train
     from tacotron2_vae_tpu.training.checkpoint import (
