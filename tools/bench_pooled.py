@@ -75,6 +75,13 @@ def epoch_stats(dl, ds, hp):
 def device_steps_per_sec(filelist, hp, steps):
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from tacotron2_vae_tpu.data.dataset import DataLoader, TextMelDataset
     from tacotron2_vae_tpu.training.train_state import (
         create_train_state, make_train_step,
@@ -87,28 +94,57 @@ def device_steps_per_sec(filelist, hp, steps):
     step = jax.jit(make_train_step(hp))
     rng = jax.random.PRNGKey(1)
 
-    # epoch 0: compile every (S, T) shape; untimed
-    frames = 0
-    for batch in dl.epoch(0):
-        rng, k = jax.random.split(rng)
-        ts, m = step(ts, batch.asdict(), k)
-    float(m["loss"])
-    # timed: epoch 1+ until `steps` steps, warm shapes
-    n = 0
-    t0 = time.perf_counter()
-    epoch = 1
-    while n < steps:
+    # Warmup: cycle shuffled epochs until one introduces NO new (S, T)
+    # shape (cap 5).  A single epoch-0 pass is not enough — reshuffling
+    # regroups lengths into different buckets, and a compile landing inside
+    # the timed window dominates it (a full-size train-step compile is
+    # ~30s vs a ~50ms step, which inverted the pooled-vs-unpooled verdict
+    # in the first version of this tool: pooling makes MORE distinct
+    # shapes, so it paid more in-window compiles).
+    seen = set()
+    epoch = 0
+    while epoch < 5:
+        new = 0
         for batch in dl.epoch(epoch):
+            shape = (batch.text.shape[1], batch.mel.shape[2])
+            if shape not in seen:
+                seen.add(shape)
+                new += 1
             rng, k = jax.random.split(rng)
             ts, m = step(ts, batch.asdict(), k)
-            frames += int(np.sum(np.asarray(batch.output_lengths)))
+        float(m["loss"])
+        epoch += 1
+        if new == 0:
+            break
+    # Timed window, per-step blocked.  Shuffled regrouping can surface a
+    # rare new shape ARBITRARILY late (warmup can't exhaust the lattice),
+    # so per-step timing + median-outlier exclusion is the only robust way
+    # to keep a ~30s compile from swamping ~50ms steps.  Blocking adds the
+    # tunnel dispatch latency to every step — identically for both
+    # variants, so the pooled/unpooled ratio is unaffected.
+    times, fcounts = [], []
+    n = new_in_timed = 0
+    while n < steps:
+        for batch in dl.epoch(epoch):
+            shape = (batch.text.shape[1], batch.mel.shape[2])
+            if shape not in seen:
+                seen.add(shape)
+                new_in_timed += 1
+            rng, k = jax.random.split(rng)
+            t0 = time.perf_counter()
+            ts, m = step(ts, batch.asdict(), k)
+            float(m["loss"])
+            times.append(time.perf_counter() - t0)
+            fcounts.append(int(np.sum(np.asarray(batch.output_lengths))))
             n += 1
             if n >= steps:
                 break
         epoch += 1
-    float(m["loss"])
-    dt = time.perf_counter() - t0
-    return n / dt, frames / dt
+    med = float(np.median(times))
+    keep = [i for i, t in enumerate(times) if t < 5 * med]
+    dt = sum(times[i] for i in keep)
+    frames = sum(fcounts[i] for i in keep)
+    return len(keep) / dt, frames / dt, new_in_timed
 
 
 def main():
@@ -118,6 +154,9 @@ def main():
     p.add_argument("--steps", type=int, default=24)
     p.add_argument("--host_only", action="store_true",
                    help="skip device timing (padded-ratio analysis only)")
+    p.add_argument("--hparams", default="",
+                   help="extra name=value overrides (e.g. a tiny model for "
+                        "a CPU smoke run of the tool itself)")
     args = p.parse_args()
 
     from tacotron2_vae_tpu.config import create_hparams
@@ -128,8 +167,9 @@ def main():
 
     out = {"batch": args.batch, "items": args.items}
     for pooled in (False, True):
+        extra = f",{args.hparams}" if args.hparams else ""
         hp = create_hparams(
-            f"batch_size={args.batch},sort_by_length={pooled}"
+            f"batch_size={args.batch},sort_by_length={pooled}{extra}"
         )
         ds = TextMelDataset(filelist, hp)
         ds.warm_mel_cache()
@@ -139,9 +179,10 @@ def main():
         out[f"padded_frame_ratio_{tag}"] = round(ratio, 3)
         out[f"batch_shapes_{tag}"] = n_shapes
         if not args.host_only:
-            sps, fps = device_steps_per_sec(filelist, hp, args.steps)
+            sps, fps, cold = device_steps_per_sec(filelist, hp, args.steps)
             out[f"steps_per_sec_{tag}"] = round(sps, 2)
             out[f"true_frames_per_sec_{tag}"] = round(fps, 1)
+            out[f"compiles_in_timed_window_{tag}"] = cold
 
     if "true_frames_per_sec_pooled" in out:
         out["pooled_speedup_true_frames"] = round(
