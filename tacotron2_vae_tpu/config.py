@@ -175,9 +175,12 @@ class HParams:
     # steps instead of per step.  Over a remote-chip link EVERY blocking
     # fetch costs a full RTT (~150-200 ms on the axon tunnel) regardless of
     # whether the data is already computed — against a ~50 ms train step a
-    # synchronous per-step fetch triples wall time.  Log lines/CSV rows are
-    # bit-identical, just up to 2*window steps late.  1 = reference-exact
-    # synchronous behavior.
+    # synchronous per-step fetch triples wall time.  Loss/grad-norm/KL log
+    # values are bit-identical, just up to 2*window steps late (the s/it
+    # column becomes a window-averaged wall time, and a non-finite loss is
+    # *printed* up to 2*window-1 steps after the on-device update skip —
+    # the skip itself is immediate, only its visibility is windowed).
+    # 1 = reference-exact synchronous behavior (drain after every step).
     log_fetch_window: int = 16
     # Batch-assembly thread-pool width (torch DataLoader num_workers analog,
     # reference train.py:61; np.load + native collate release the GIL).

@@ -177,6 +177,7 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
     # log lines/CSV rows are preserved exactly (reference train.py
     # semantics); they just materialize up to 2*window steps late.
     log_keys = ("loss", "grad_norm", "kl_loss", "kl_weight", "recon_loss")
+    window = max(1, hp.log_fetch_window)
 
     @jax.jit
     def _pack_metrics(ms):
@@ -190,7 +191,19 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
     def drain(n):
         nonlocal last_log_t
         take = [pending.popleft() for _ in range(n)]
-        vals = np.asarray(_pack_metrics(tuple(m for _, m in take)))
+        # Pack in fixed window-width chunks (short tails padded by repeating
+        # the last handle, sliced off after the fetch): _pack_metrics sees
+        # exactly ONE tuple length ever, so the checkpoint-time and final
+        # drains reuse the steady-state compile instead of tracing a fresh
+        # program (and paying its tunnel RTTs) per distinct drain size.
+        rows = []
+        for i in range(0, len(take), window):
+            chunk = [m for _, m in take[i:i + window]]
+            k = len(chunk)
+            if k < window:
+                chunk = chunk + [chunk[-1]] * (window - k)
+            rows.append(np.asarray(_pack_metrics(tuple(chunk)))[:k])
+        vals = np.concatenate(rows, axis=0)
         now = time.perf_counter()
         per_step = (now - last_log_t) / n  # wall per step in steady state
         last_log_t = now
@@ -210,7 +223,10 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
             else:
                 print(f"Train loss {it} non-finite; update skipped")
 
-    window = max(1, hp.log_fetch_window)
+    # window==1 drains after every append (reference-exact synchrony); any
+    # larger window holds 2*window handles so the fetched window's data is
+    # long computed by the time its single transfer blocks.
+    drain_at = 1 if window == 1 else 2 * window
     for epoch in range(epoch_offset, hp.epochs):
         print(f"Epoch: {epoch}")
         # Featurize + device_put run in a background thread, `prefetch_depth`
@@ -223,8 +239,8 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
             rng, step_rng = jax.random.split(rng)
             ts, metrics = train_step(ts, batch, step_rng)
             pending.append((iteration, metrics))
-            if len(pending) >= 2 * window:
-                drain(window)  # oldest window: its data is long computed
+            if len(pending) >= drain_at:
+                drain(min(window, len(pending)))
 
             if iteration % hp.iters_per_checkpoint == 0 and iteration > 0:
                 if pending:  # sync the log before validating/saving
@@ -244,6 +260,9 @@ def train(output_directory, log_directory, checkpoint_path, warm_start, hp):
                 ckpt = save_checkpoint(ts, learning_rate, output_directory,
                                        iteration)
                 print(f"Saved checkpoint: {ckpt}")
+                # Don't fold validation+save wall time into the next
+                # window's per-step duration average.
+                last_log_t = time.perf_counter()
             iteration += 1
 
     if pending:  # final drain

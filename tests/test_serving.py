@@ -501,3 +501,49 @@ def test_synthesize_with_r2_checkpoint(tmp_path):
     synth.synthesize("안녕하세요", out, False, None, [1.0, 0.0, 0.0, 0.0])
     wav, sr = load_wav(out)
     assert sr == 16000 and np.isfinite(wav).all()
+
+
+def test_micro_batcher_adaptive_window():
+    """A lone request at an idle worker skips the companion window (round-5
+    fix: the fixed 10 ms sleep was +33% latency on a ~30 ms decode for zero
+    batching benefit); sustained concurrency still groups, and a full batch
+    ends the wait early instead of sleeping out the window."""
+    import time
+
+    from tacotron2_vae_tpu.serving.app import MicroBatcher
+
+    calls = []
+
+    def run_batch(reqs):
+        calls.append(len(reqs))
+        time.sleep(0.02)  # stand-in for one decode
+        return [f"r{r}" for r in reqs]
+
+    window = 0.25  # huge window so skipping vs paying it is unambiguous
+    mb = MicroBatcher(run_batch, max_batch=4, window_s=window)
+
+    # Lone request, idle worker, no concurrency history: served immediately.
+    t0 = time.perf_counter()
+    assert mb.submit(1) == "r1"
+    lone = time.perf_counter() - t0
+    assert lone < window, f"lone request paid the window: {lone:.3f}s"
+    assert calls == [1]
+
+    # Concurrent burst: grouped (the window now applies and may be cut
+    # short by the batch filling).
+    results = {}
+
+    def hit(i):
+        results[i] = mb.submit(i)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(2, 6)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    burst = time.perf_counter() - t0
+    assert results == {i: f"r{i}" for i in range(2, 6)}
+    assert max(calls[1:]) >= 2, calls  # grouping happened
+    # full batch (4 == max_batch) cuts the wait short of a full window
+    assert burst < 2 * window + 1.0

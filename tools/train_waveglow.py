@@ -191,6 +191,17 @@ def main():
         args.filelist, args.segment, args.sampling_rate,
         seed=1234 + start_step,
     )
+    # Training provenance: every 50-step NLL lands in <output_dir>/nll.csv
+    # (append mode so --resume continues the same curve) plus a run-config
+    # JSON — the record of what produced a given exported vocoder.
+    nll_csv = os.path.join(args.output_dir, "nll.csv")
+    write_header = not os.path.exists(nll_csv)
+    with open(os.path.join(args.output_dir, "run_config.json"), "w") as f:
+        json.dump({k: v for k, v in vars(args).items()}, f, indent=1)
+    csv_f = open(nll_csv, "a")
+    if write_header:
+        csv_f.write("step,nll,steps_per_sec\n")
+        csv_f.flush()  # survive an external kill before the first log row
     t0, loss = None, None
     for i in range(start_step, args.steps):
         audio, mel = sampler.batch(args.batch)
@@ -201,6 +212,8 @@ def main():
         elif (i + 1) % 50 == 0:
             rate = (i - start_step) / (time.perf_counter() - t0)
             print(f"step {i + 1}: loss {float(loss):.4f}  {rate:.1f} steps/s")
+            csv_f.write(f"{i + 1},{float(loss):.6f},{rate:.2f}\n")
+            csv_f.flush()
         if (i + 1) % args.checkpoint_every == 0 or i + 1 == args.steps:
             path = os.path.abspath(
                 os.path.join(args.output_dir, f"waveglow_{i + 1}")
@@ -211,6 +224,7 @@ def main():
                 "opt_state": _to_host(opt_state),
             }, force=True)
             print("saved", path)
+    csv_f.close()
     if args.export:
         import dataclasses
         import pickle
