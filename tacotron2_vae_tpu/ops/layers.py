@@ -98,8 +98,13 @@ def conv1d(p, x, stride=1, padding="SAME", dtype=None):
     and B*T >= 1024: at K=31 (the location conv inside the serving
     while-loop) 31 slice+matmul ops would be pure latency, and lax.conv
     wins.  Numerics: fp32 accumulation across taps (closer to the MXU's
-    internal conv accumulation than per-tap rounding), output cast back
-    to the compute dtype, bias add promotes to fp32 as before.
+    internal conv accumulation than per-tap rounding) and an fp32 bias
+    add fused into the same epilogue, then ONE cast back to the compute
+    dtype.  Under a bf16 compute dtype the conv OUTPUT stream is bf16 —
+    round-4 profiling showed the old fp32-promoting bias add made every
+    interstitial encoder/postnet tensor (conv -> BN -> act -> dropout ->
+    next conv, fwd and bwd cotangents alike) a 67 MB fp32 stream plus a
+    convert pass per layer, ~3-4 ms/step of pure HBM traffic at B=64.
     """
     w = p["w"]
     if dtype is not None:
@@ -120,16 +125,17 @@ def conv1d(p, x, stride=1, padding="SAME", dtype=None):
             term = jnp.einsum("bti,io->bto", xk, w[k],
                               preferred_element_type=jnp.float32)
             y = term if y is None else y + term
-        y = y.astype(x.dtype)
-    else:
-        if isinstance(padding, int):
-            padding = [(padding, padding)]
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=(stride,), padding=padding,
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )
+        if "b" in p:
+            y = y + p["b"]          # fp32 add, fused into the accumulation
+        return y.astype(x.dtype)    # one cast; bf16 stream under bf16 compute
+    if isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=padding,
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
     if "b" in p:
-        y = y + p["b"]
+        y = (y + p["b"]).astype(y.dtype) if dtype is not None else y + p["b"]
     return y
 
 
@@ -157,7 +163,7 @@ def conv2d(p, x, stride=(1, 1), padding=((1, 1), (1, 1)), dtype=None):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     if "b" in p:
-        y = y + p["b"]
+        y = (y + p["b"]).astype(y.dtype) if dtype is not None else y + p["b"]
     return y
 
 
@@ -174,11 +180,17 @@ def batchnorm(params, state, x, train: bool, momentum=0.1, eps=1e-5):
     """Channel-last batchnorm; `momentum` follows PyTorch semantics.
 
     Returns (y, new_state).  x: (..., C); stats over all non-channel axes.
+    Statistics/params/state are always fp32, but the OUTPUT keeps x's
+    dtype: under a bf16 compute dtype the normalize is a bf16-in/bf16-out
+    elementwise pass (fp32 math fused in-register), not an fp32
+    materialization — the standard mixed-precision BN contract (and what
+    keeps the encoder/postnet interstitial streams bf16, see conv1d).
     """
     axes = tuple(range(x.ndim - 1))
+    xf = x.astype(jnp.float32) if x.dtype != jnp.float32 else x
     if train:
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         new_state = {
@@ -189,7 +201,7 @@ def batchnorm(params, state, x, train: bool, momentum=0.1, eps=1e-5):
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + eps) * params["scale"]
-    y = (x - mean) * inv + params["bias"]
+    y = ((xf - mean) * inv + params["bias"]).astype(x.dtype)
     return y, new_state
 
 
