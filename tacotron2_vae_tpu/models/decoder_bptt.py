@@ -365,7 +365,7 @@ def _bwd_rule(cfg, saved, dys):
         dropout_on = cfg.train and (
             cfg.n_half_keep_att < 1.0 or cfg.n_half_keep_dec < 1.0
         )
-        (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dta_flat,
+        (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dlf_seq, dWld,
          dv_k, dWq, dpmem) = bwd_pallas(
             scan_params, memory, pmem, drop_masks, dys,
             (g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq,
@@ -375,30 +375,18 @@ def _bwd_rule(cfg, saved, dys):
             dtype_name=cfg.compute_dtype,
         )
         dv = dv_k.T  # (A, 1)
-        # dWld / dloc / dWloc contract the 1 GB dta stream over the
-        # FLATTENED (T*B*S) axis as plain 2-D matmuls — the 4-D einsum
-        # forms made XLA materialize a layout copy of the whole stream
-        # (profiled ~3.3 ms/step at B=64).
-        A_dim = scan_params["query_w"].shape[1]
-        dta2 = dta_flat.reshape(T * B * S, A_dim)
-        loc2 = _loc_conv(
-            w_prev_seq.reshape(T * B, S).astype(sdt),
-            w_cum_prev_seq.reshape(T * B, S).astype(sdt),
-            _cast_w(scan_params["loc_w"], cfg),
-        ).reshape(T * B * S, -1)
-        dWld = jax.lax.dot_general(
-            loc2.astype(sdt), dta2.astype(sdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (F, A)
-        dloc2 = jax.lax.dot_general(
-            dta2.astype(sdt), _cast_w(scan_params["loc_dense_w"], cfg),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(sdt)  # (N, F) = dta @ loc_dense^T
+        # d loc_dense_w (dWld) accumulates in-kernel as G = sum locd^T@dta
+        # and is recovered by an exact FxF solve inside bwd_pallas; d
+        # loc_w is the conv-weight-grad correlation of (w_prev, w_cum)
+        # with the F-width dlf stream the kernel emits (dlf = dtanh @
+        # loc_dense^T computed in VMEM) — the A-width dtanh stream never
+        # leaves the kernel, so the old 1 GB HBM round trips and the
+        # caller-side location-conv recompute are gone (round 5,
+        # ~7 ms/step at B=64).
         dWloc = _loc_conv_weight_grad(
-            w_prev_seq.reshape(T * B, S).astype(dloc2.dtype),
-            w_cum_prev_seq.reshape(T * B, S).astype(dloc2.dtype),
-            dloc2.reshape(T * B, S, -1), K,
+            w_prev_seq.reshape(T * B, S).astype(dlf_seq.dtype),
+            w_cum_prev_seq.reshape(T * B, S).astype(dlf_seq.dtype),
+            dlf_seq.reshape(T * B, S, -1), K,
         )
         x_att_seq = jnp.concatenate(
             [prenet_seq.astype(sdt), ctx_prev_seq.astype(sdt),
@@ -682,9 +670,12 @@ def _pallas_vmem_estimate(hp, B: int, S: int, itemsize: int = 2) -> int:
         + S * S * A                      # rep_mat = kron(I_S, ones(1, A))
         + S * A * A                      # fold_a = kron(ones(S,1), I_A)
         + B * S * S                      # fold_s = kron(ones(B,1), I_S)
+        + B * S * A                      # dta retile scratch
+        + B * S * A                      # locd retile scratch
     ) * bf16
     pinned += 4 * B * B * S              # mask_bd (fp32)
-    pinned += 4 * 2 * B * S * A          # dpmem scratch + pinned output (f32)
+    pinned += 4 * B * S * A              # dpmem accumulator output (f32)
+    pinned += 4 * A * A                  # G accumulator output (f32)
     pinned += 4 * 7 * B * max(H, S, E)   # fp32 state scratch (upper bound)
     return pinned
 

@@ -310,6 +310,7 @@ def _bwd_kernel(
     memory_flat_ref,   # (B*S, E)      stream dtype
     pmem2_ref,         # (B, S*A)      stream dtype
     band_f_ref,        # (2L, S*A)     stream dtype
+    ld_t_ref,          # (A, F)        stream dtype: loc_dense_w^T
     rep_mat_ref,       # (S, S*A)      stream dtype: kron(I_S, ones(1, A))
     fold_a_ref,        # (S*A, A)      stream dtype: kron(ones(S,1), I_A)
     fold_s_ref,        # (B*S, S)      stream dtype: kron(ones(B,1), I_S)
@@ -324,13 +325,31 @@ def _bwd_kernel(
     w_prev_ref, w_cum_prev_ref, w_t_ref,                # attention seqs
     m1_ref, m2_ref, m3_ref, m4_ref,                     # dropout masks
     # outputs (per-step blocks, same reverse map; + final accumulators)
-    dg_att_ref, dg_dec_ref, dpn_ref, dctx_tot_ref, dta_ref,
+    dg_att_ref, dg_dec_ref, dpn_ref, dctx_tot_ref,
+    dlf_ref,   # (1, B*S, F) per-step block: dta @ loc_dense^T.  The A-width
+               # dta stream (1 GB at B=64) never leaves the kernel — its
+               # HBM write, two re-reads and the caller-side location
+               # recompute profiled ~7 ms/step at B=64 (round 5).  The
+               # F-width dlf stream is A/F = 4x smaller and is all the
+               # caller needs: d loc_w is the conv-weight-grad correlation
+               # of (w_prev, w_cum) with dlf (_loc_conv_weight_grad).
+    dgl_ref,   # (A, A) f32 accumulator: G = sum_t locd^T @ dta.  Since
+               # locd = locf @ loc_dense, G = loc_dense^T @ dWld and the
+               # caller recovers dWld = (ld ld^T)^-1 ld G via a tiny FxF
+               # solve (exact when rank(loc_dense) = F).  The F-width
+               # locf retile itself is NOT Mosaic-legal: on this chip the
+               # (1, S*X) -> (S, X) shape cast compiles ONLY at X=128
+               # (lane width) — X=32 and X=256 both reject
+               # (tools/reshape_probe.py), so dWld must ride an A-width
+               # contraction.
     dv_ref,    # (1, A) f32, written at the last grid step
     dwq_ref,   # (H, A) f32, written at the last grid step
-    dpm_ref,   # (B, S*A) f32, written at the last grid step: sum_t dta
+    dpm_ref,   # (B, S*A) f32 accumulator: sum_t dta (in-place, no scratch)
     # scratch carries
     s_dh_att, s_dc_att, s_dh_dec, s_dc_dec, s_dw_prev, s_dwcum, s_dctx,
-    s_dv, s_dwq, s_dpm,
+    s_dv, s_dwq,
+    s_dta_rs,   # (B*S, A) stream dtype: dta retiled per-example
+    s_locd_rs,  # (B*S, A) stream dtype: locd (A-width loc-dense) retiled
 ):
     i = pl.program_id(0)
     T = pl.num_programs(0)
@@ -339,6 +358,7 @@ def _bwd_kernel(
     H = H4 // 4
     E = memory_flat_ref.shape[1]
     A = fold_a_ref.shape[1]
+    F = ld_t_ref.shape[1]
     P = attn_w_ref.shape[0] - E - H
     L2 = band_f_ref.shape[0]
     L = L2 // 2
@@ -356,7 +376,8 @@ def _bwd_kernel(
         s_dctx[:] = jnp.zeros_like(s_dctx)
         s_dv[:] = jnp.zeros_like(s_dv)
         s_dwq[:] = jnp.zeros_like(s_dwq)
-        s_dpm[:] = jnp.zeros_like(s_dpm)
+        dgl_ref[:] = jnp.zeros_like(dgl_ref)
+        dpm_ref[:] = jnp.zeros_like(dpm_ref)
 
     def split4(g):
         return g[:, :H], g[:, H:2 * H], g[:, 2 * H:3 * H], g[:, 3 * H:]
@@ -484,18 +505,39 @@ def _bwd_kernel(
     dg_dec_ref[0] = dg_dec.astype(dg_dec_ref.dtype)
     dpn_ref[0] = dpn.astype(dpn_ref.dtype)
     dctx_tot_ref[0] = dctx.astype(dctx_tot_ref.dtype)
-    # dta ships in (B*S, A) row layout — the caller's dWld/dloc matmuls
-    # contract over the flattened (T*B*S) axis, and emitting (B, S*A)
-    # rows forced XLA into a physical retile of the 1 GB stream
-    # (profiled 3.8 ms/step at B=64).  (1, S*A) -> (S, A) is the one
-    # Mosaic-legal reshape; the B-loop unrolls to static row stores.
-    dta_c = dta.astype(dta_ref.dtype)
+    # ---- location-conv weight gradients WITHOUT emitting dta ----
+    # The A-width dta stream (1 GB at B=64) used to ship to HBM for the
+    # caller's dWld/dWloc matmuls — its write, two re-reads and the
+    # caller-side loc recompute profiled ~7 ms/step at B=64 (round 5).
+    # Instead retile dta and locd (the A-width loc-dense features the
+    # recompute above already produced) to (B*S, A) — the (1, S*128) ->
+    # (S, 128) per-example reshape is the ONLY Mosaic-legal shape cast on
+    # this chip (tools/reshape_probe.py: X=32/X=256 targets reject); the
+    # B-loop unrolls to static row stores — then
+    #   * dlf  = dta_rs @ loc_dense^T  (B*S, F): the only stream the
+    #     caller still needs (A/F = 4x smaller than dta), because
+    #     d loc_w is the conv-grad correlation of (w_prev, w_cum) with
+    #     dlf (_loc_conv_weight_grad);
+    #   * G   += locd_rs^T @ dta_rs, accumulated in the constant-index
+    #     (A, A) output block (VMEM-resident across the grid).  Since
+    #     locd = locf @ ld this is G = ld^T @ dWld; the caller recovers
+    #     dWld with an exact FxF solve (bwd_pallas).
+    dta_c = dta.astype(wdt)
+    locd_c = locd2.astype(wdt)
     for b in range(B):
-        dta_ref[0, b * S:(b + 1) * S, :] = dta_c[b:b + 1].reshape(
-            S, dta_c.shape[1] // S)
-    # dpmem = sum_t dta accumulated in VMEM: saves the post-kernel 1 GB
-    # re-read of the dta stream that a separate reduce costs
-    s_dpm[:] = s_dpm[:] + dta
+        s_dta_rs[b * S:(b + 1) * S, :] = dta_c[b:b + 1].reshape(S, A)
+        s_locd_rs[b * S:(b + 1) * S, :] = locd_c[b:b + 1].reshape(S, A)
+    dlf_ref[0] = jnp.dot(s_dta_rs[:], ld_t_ref[:],
+                         preferred_element_type=jnp.float32
+                         ).astype(dlf_ref.dtype)
+    dgl_ref[:] = dgl_ref[:] + jax.lax.dot_general(
+        s_locd_rs[:], s_dta_rs[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dpmem = sum_t dta, accumulated straight into the constant-index
+    # output block (saves both the post-kernel 1 GB dta re-read a
+    # separate reduce costs AND an 8 MB f32 scratch copy of itself)
+    dpm_ref[:] = dpm_ref[:] + dta
 
     # ---- update carries ----
     s_dh_att[:] = dh_att_prev
@@ -510,7 +552,6 @@ def _bwd_kernel(
     def _finalize():
         dv_ref[:] = s_dv[:]
         dwq_ref[:] = s_dwq[:]
-        dpm_ref[:] = s_dpm[:]
 
 
 @functools.partial(
@@ -522,12 +563,21 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
                dtype_name: str = "bfloat16"):
     """Pallas backward for the BPTT scan core (reverse grid over T).
 
-    Weights stay pinned in VMEM; emits the same per-step streams the XLA
-    reverse scan produces — (dg_att, dg_dec, dpn, dctx_tot, dtanh) plus the
-    in-kernel (dv, dWq) accumulators — so decoder_bptt._bwd_rule's post-scan
-    machinery (big dW matmuls, dWloc/dWld/dpmem/dmemory reductions) is
-    unchanged.  dtanh is returned as (T, B*S, A); the caller
-    reshapes (free in XLA).
+    Weights stay pinned in VMEM; emits the per-step streams the caller's
+    dW matmuls consume — (dg_att, dg_dec, dpn, dctx_tot) and the F-width
+    dlf = dta @ loc_dense^T (for the caller's _loc_conv_weight_grad) —
+    plus four in-kernel accumulators: G (-> d loc_dense_w below), dv, dWq
+    and dpmem.  The A-width dtanh stream itself never leaves the kernel —
+    its HBM write, two re-reads, and the caller-side location recompute
+    were ~7 ms/step at B=64 (round 5).
+
+    d loc_dense_w recovery: the kernel accumulates G = sum_t locd^T @ dta
+    (A, A) because the direct F-width accumulation needs a (1, S*F) ->
+    (S, F) retile Mosaic rejects for F != 128 (tools/reshape_probe.py).
+    locd = locf @ ld, so G = ld^T @ dWld, and dWld = (ld ld^T)^-1 ld G —
+    exact whenever loc_dense_w has full row rank F (F=32 << A=128; a
+    relative-1e-6 ridge guards degenerate weights, far below the bf16
+    stream noise the parity tests already tolerate).
     """
     dh_dec_seq, dctx_seq, dw_seq = dys
     g_att_seq, g_dec_seq, c_att_prev_seq, c_dec_prev_seq, h_att_seq = resids
@@ -541,6 +591,8 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
     band_f = build_loc_band(
         scan_params["loc_w"], scan_params["loc_dense_w"], S
     ).astype(wdt)
+    ld_t = scan_params["loc_dense_w"].T.astype(wdt)  # (A, F)
+    F = ld_t.shape[1]
     rep_mat = jnp.kron(jnp.eye(S, dtype=jnp.float32),
                        jnp.ones((1, A), jnp.float32)).astype(wdt)
     fold_a = jnp.kron(jnp.ones((S, 1), jnp.float32),
@@ -566,7 +618,7 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
         return pl.BlockSpec((1, B, d), rev, memory_space=pltpu.VMEM)
 
     in_specs = (
-        [full] * 11
+        [full] * 12
         + [step_in(H), step_in(E), step_in(S)]          # dys
         + [step_in(4 * H), step_in(4 * H), step_in(H), step_in(H),
            step_in(H)]                                   # resids
@@ -575,7 +627,8 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
     )
     out_specs = (
         step_in(4 * H), step_in(4 * H), step_in(P), step_in(E),
-        pl.BlockSpec((1, B * S, A), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B * S, F), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((A, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((B, S * A), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -586,7 +639,8 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
         jax.ShapeDtypeStruct((T, B, 4 * H), sdt),
         jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         jax.ShapeDtypeStruct((T, B, E), jnp.float32),
-        jax.ShapeDtypeStruct((T, B * S, A), sdt),
+        jax.ShapeDtypeStruct((T, B * S, F), sdt),
+        jax.ShapeDtypeStruct((A, A), jnp.float32),
         jax.ShapeDtypeStruct((1, A), jnp.float32),
         jax.ShapeDtypeStruct((H, A), jnp.float32),
         jax.ShapeDtypeStruct((B, S * A), jnp.float32),
@@ -608,14 +662,16 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
             pltpu.VMEM((B, E), jnp.float32),  # dctx
             pltpu.VMEM((1, A), jnp.float32),  # dv acc
             pltpu.VMEM((H, A), jnp.float32),  # dWq acc
-            pltpu.VMEM((B, S * A), jnp.float32),  # dpmem acc
+            pltpu.VMEM((B * S, A), wdt),      # dta retiled
+            pltpu.VMEM((B * S, A), wdt),      # locd retiled
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
-        memory_flat, pmem2, band_f, rep_mat, fold_a, fold_s, mask_bd,
+        memory_flat, pmem2, band_f, ld_t,
+        rep_mat, fold_a, fold_s, mask_bd,
         scan_params["attn_w"].astype(wdt),
         scan_params["dec_w"].astype(wdt),
         scan_params["query_w"].astype(wdt),
@@ -625,10 +681,13 @@ def bwd_pallas(scan_params, memory, pmem, drop_masks, dys, resids,
         w_prev_seq, w_cum_prev_seq, w_seq,
         m1, m2, m3, m4,
     )
-    (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dta_seq,
+    (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq, dlf_seq, dgl,
      dv, dwq, dpm) = outs
-    # dta_seq ships (T, B*S, A): merging the two leading row dims to the
-    # caller's (T*B*S, A) matmul operand is layout-free, unlike the
-    # (B, S*A) -> (N, A) retile XLA had to copy for.
+    # Recover dWld from G = ld^T @ dWld (see docstring): exact FxF solve.
+    ld = scan_params["loc_dense_w"].astype(jnp.float32)  # (F, A)
+    gram = ld @ ld.T  # (F, F)
+    gram = gram + (1e-6 / F) * jnp.trace(gram) * jnp.eye(F,
+                                                         dtype=jnp.float32)
+    dld = jnp.linalg.solve(gram, ld @ dgl)  # (F, A)
     return (dg_att_seq, dg_dec_seq, dpn_seq, dctx_tot_seq,
-            dta_seq, dv, dwq, dpm.reshape(B, S, A))
+            dlf_seq, dld, dv, dwq, dpm.reshape(B, S, A))
