@@ -2,11 +2,13 @@
 
 Headline (BASELINE.json): teacher-forced mel frames/sec/chip on the full-size
 Tacotron2-VAE model.  Extra context fields ride in the same JSON object:
-step latency/MFU at B=64 (r=1 and the r=2 throughput recipe), device
+step latency/MFU at B=64 (r=1 and the r=2/r=3 throughput recipe), device
 capability probes + the scan roofline, input-pipeline throughput, serving
 RTF (B=1 fused kernel, r=2, and the B=4 batched decode kernel per-stream),
-WaveGlow inference RTF at the full NVIDIA size, and the TRUE end-to-end
-text->wav RTF (BASELINE.md's < 0.05 target).  The reference publishes no
+WaveGlow inference RTF at the full NVIDIA size, the stage-sum end-to-end
+text->wav RTF (BASELINE.md's < 0.05 target), and the ONE-call
+Synthesizer.synthesize() pipeline RTF (text frontend + transfers + decode
++ vocode + wav encode as a single measurement).  The reference publishes no
 numbers (BASELINE.md), so vs_baseline is null.
 """
 
@@ -269,6 +271,51 @@ def main():
             import traceback
 
             traceback.print_exc()
+    # n_frames_per_step=3: the far end of the reduction-factor recipe
+    # (r=2 is the documented default recipe; r=3 trades a little attention
+    # resolution for another scan-length cut).  T rounds down to 510 — the
+    # mel length must be a multiple of r (models/decoder.py:94).
+    mark("r3_train")
+    frames_per_sec_b64_r3 = mfu_b64_r3 = flops_per_step_r3 = None
+    if time.perf_counter() - t_start < float(
+        os.environ.get("BENCH_BUDGET_S", "520")
+    ):
+        try:
+            T3 = 510
+            batch64_r3 = dict(batch64)
+            batch64_r3["mel"] = batch64["mel"][:, :, :T3]
+            batch64_r3["gate"] = jax.numpy.concatenate(
+                [batch64["gate"][:, : T3 - 1],
+                 jax.numpy.ones((B2, 1), batch64["gate"].dtype)], axis=1)
+            batch64_r3["output_lengths"] = jax.numpy.full(
+                (B2,), T3, jax.numpy.int32)
+            hp3 = create_hparams("batch_size=64,n_frames_per_step=3")
+            step3_fn = jax.jit(make_train_step(hp3))
+            ts3 = create_train_state(jax.random.PRNGKey(0), hp3)
+            compiled3 = step3_fn.lower(
+                ts3, batch64_r3, jax.random.PRNGKey(0)).compile()
+            ts3, m3 = compiled3(ts3, batch64_r3, jax.random.PRNGKey(0))
+            float(m3["loss"])
+            t0 = time.perf_counter()
+            for i in range(8):
+                ts3, m3 = compiled3(ts3, batch64_r3, jax.random.PRNGKey(0))
+            float(m3["loss"])
+            dt_r3 = (time.perf_counter() - t0) / 8
+            frames_per_sec_b64_r3 = B2 * T3 / dt_r3
+            try:
+                ca3 = compiled3.cost_analysis()
+                ca3 = ca3[0] if isinstance(ca3, (list, tuple)) else ca3
+                flops_per_step_r3 = float(ca3.get("flops", 0.0)) or None
+            except Exception:
+                pass
+            if flops_per_step_r3 and peak:
+                mfu_b64_r3 = flops_per_step_r3 / dt_r3 / peak
+            del ts3, batch64_r3
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+
     # Delta documentation: the same B=64 step with the Pallas training-scan
     # kernels forced off (pure XLA scan) — the default ("auto") engages them
     # on this chip, so this quantifies what the VMEM weight-pinning buys.
@@ -548,6 +595,69 @@ def main():
 
             traceback.print_exc()
 
+    # ONE-call serving pipeline RTF: Synthesizer.synthesize() wall clock —
+    # text string in, wav file out — including the text frontend, host->
+    # device transfers, the autoregressive decode, sigma=0.666 WaveGlow
+    # vocoding, device->host fetch, and wav encode.  This is the
+    # reference's actual request path (app.py:101-129 ->
+    # synthesizer.py:112-168) timed as one measurement, complementing the
+    # stage-sum `end_to_end_rtf` above.  Uses trained artifacts when
+    # available (T2V_PIPELINE_CKPT / T2V_PIPELINE_WAVEGLOW env vars or the
+    # curve-run workdir) so the gate stops at real speech length; falls
+    # back to random-init weights with a forced 600-step decode (an upper
+    # bound — a trained gate stops earlier).
+    mark("serving_pipeline")
+    serving_pipeline_rtf = None
+    serving_pipeline_audio_secs = None
+    serving_pipeline_mode = None
+    try:
+        import tempfile
+
+        from tacotron2_vae_tpu.dsp.audio import load_wav
+        from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
+
+        ckpt = os.environ.get(
+            "T2V_PIPELINE_CKPT", "/tmp/t2v_curves/out/checkpoint_50000")
+        wg_path = os.environ.get(
+            "T2V_PIPELINE_WAVEGLOW", "/tmp/t2v_curves/waveglow_export.pkl")
+        syn = Synthesizer()
+        if os.path.isdir(ckpt):
+            syn.load(ckpt, wg_path if os.path.exists(wg_path) else None)
+            serving_pipeline_mode = (
+                "trained" if syn.waveglow is not None else "trained_no_wg")
+        else:
+            # No trained artifacts on this host: random weights, decode
+            # length forced to the full 600-step buffer (gate can't fire).
+            from tacotron2_vae_tpu.models import tacotron2 as t2m
+            from tacotron2_vae_tpu.models import waveglow as wgm2
+
+            syn.hparams = syn.hparams.replace(gate_threshold=1.1)
+            p0, s0 = t2m.init(jax.random.PRNGKey(0), syn.hparams)
+            syn.params = jax.device_put(p0)
+            syn.model_state = jax.device_put(s0)
+            syn.waveglow = jax.device_put(
+                wgm2.init(jax.random.PRNGKey(1), syn.waveglow_cfg))
+            serving_pipeline_mode = "random_forced_600"
+        text = "감정을 담아 말하는 음성 합성 시스템의 전체 경로를 측정합니다."
+        out_wav = os.path.join(
+            tempfile.mkdtemp(prefix="bench_pipe_"), "out.wav")
+        ratios = [1.0, 0.0, 0.0, 0.0]
+        syn.synthesize(text, out_wav, False, None, ratios)  # compile
+        reps, walls = 3, []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            syn.synthesize(text, out_wav, False, None, ratios)
+            walls.append(time.perf_counter() - t0)
+        wav_out, sr_out = load_wav(out_wav)
+        serving_pipeline_audio_secs = len(wav_out) / sr_out
+        serving_pipeline_rtf = (
+            sorted(walls)[reps // 2] / serving_pipeline_audio_secs)
+        del syn
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+
     mark("emit")
     print(
         json.dumps(
@@ -579,6 +689,12 @@ def main():
                 "flops_per_step_batch64_r2": flops_per_step_r2,
                 "mfu_batch64_r2": (
                     round(mfu_b64_r2, 4) if mfu_b64_r2 else None),
+                "frames_per_sec_batch64_r3": (
+                    round(frames_per_sec_b64_r3, 1)
+                    if frames_per_sec_b64_r3 else None),
+                "flops_per_step_batch64_r3": flops_per_step_r3,
+                "mfu_batch64_r3": (
+                    round(mfu_b64_r3, 4) if mfu_b64_r3 else None),
                 "frames_per_sec_batch64_xla_scan": (
                     round(frames_per_sec_b64_xla_scan, 1)
                     if frames_per_sec_b64_xla_scan else None),
@@ -600,6 +716,13 @@ def main():
                 "waveglow_train_samples_per_sec": (
                     round(wg_samples_per_sec, 1)
                     if wg_samples_per_sec else None),
+                "serving_pipeline_rtf": (
+                    round(serving_pipeline_rtf, 4)
+                    if serving_pipeline_rtf else None),
+                "serving_pipeline_audio_secs": (
+                    round(serving_pipeline_audio_secs, 2)
+                    if serving_pipeline_audio_secs else None),
+                "serving_pipeline_mode": serving_pipeline_mode,
                 "device": str(jax.devices()[0]),
             }
         )
