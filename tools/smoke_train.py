@@ -64,14 +64,22 @@ def synth_batch(rng, hp, B, S, frames_per_char=4, emotion_tilt=0.0):
         ).astype(np.float32) * emotion_tilt
         mel = mel + tilt[:, :, None]
     mel = mel + rng.randn(*mel.shape).astype(np.float32) * 0.05
+    # pad T to a multiple of r with gate=1 from the last real frame on,
+    # exactly as data.dataset.collate does
+    r = hp.n_frames_per_step
+    T0 = T
+    if T % r:
+        pad = r - T % r
+        mel = np.pad(mel, ((0, 0), (0, 0), (0, pad)))
+        T += pad
     gate = np.zeros((B, T), np.float32)
-    gate[:, -1] = 1.0
+    gate[:, T0 - 1:] = 1.0
     return {
         "text": jnp.asarray(text),
         "input_lengths": jnp.full((B,), S, jnp.int32),
         "mel": jnp.asarray(mel),
         "gate": jnp.asarray(gate),
-        "output_lengths": jnp.full((B,), T, jnp.int32),
+        "output_lengths": jnp.full((B,), T0, jnp.int32),
         "emotions": jnp.asarray(np.eye(hp.n_emotions, dtype=np.float32)[emo]),
     }
 
