@@ -617,8 +617,16 @@ def main():
         from tacotron2_vae_tpu.dsp.audio import load_wav
         from tacotron2_vae_tpu.serving.synthesizer import Synthesizer
 
-        ckpt = os.environ.get(
-            "T2V_PIPELINE_CKPT", "/tmp/t2v_curves/out/checkpoint_50000")
+        ckpt = os.environ.get("T2V_PIPELINE_CKPT")
+        if not ckpt:
+            # latest checkpoint from the curve-run workdir, whatever its
+            # step count (the horizon is T2V_STEPS_TARGET-configurable)
+            import glob as _glob
+
+            cands = _glob.glob("/tmp/t2v_curves/out/checkpoint_*")
+            cands = [c for c in cands if c.rsplit("_", 1)[-1].isdigit()]
+            ckpt = (max(cands, key=lambda c: int(c.rsplit("_", 1)[-1]))
+                    if cands else "/tmp/t2v_curves/out/checkpoint_50000")
         wg_path = os.environ.get(
             "T2V_PIPELINE_WAVEGLOW", "/tmp/t2v_curves/waveglow_export.pkl")
         syn = Synthesizer()
