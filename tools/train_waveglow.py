@@ -103,6 +103,23 @@ class SegmentSampler:
         return jnp.asarray(audio), jnp.asarray(mel[:, :, :n_frames])
 
 
+def _export(params, cfg, args):
+    """Write the self-describing serving pickle (config + params)."""
+    import dataclasses
+    import pickle
+
+    store = np.dtype(args.export_dtype)
+    blob = {
+        "waveglow": jax.tree_util.tree_map(
+            lambda x: np.asarray(x, store), params
+        ),
+        "config": dataclasses.asdict(cfg),
+    }
+    with open(args.export, "wb") as f:
+        pickle.dump(blob, f)
+    print("exported", args.export)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--filelist", required=True)
@@ -162,8 +179,15 @@ def main():
             opt_state, payload["opt_state"],
         )
     if start_step >= args.steps:
+        # export-only invocation: --resume <ckpt> --steps 0 --export <pkl>
+        # turns any saved checkpoint into a serving artifact (e.g. the
+        # best-held-out-NLL checkpoint rather than the last one).
+        if args.export:
+            _export(params, cfg, args)
         print(json.dumps({"final_loss": None, "steps": start_step,
-                          "note": "resume step >= --steps; nothing to do"}))
+                          "note": "resume step >= --steps; exported only"
+                          if args.export else
+                          "resume step >= --steps; nothing to do"}))
         return
     if args.mesh:
         from tacotron2_vae_tpu.parallel import (
@@ -226,19 +250,7 @@ def main():
             print("saved", path)
     csv_f.close()
     if args.export:
-        import dataclasses
-        import pickle
-
-        store = np.dtype(args.export_dtype)
-        blob = {
-            "waveglow": jax.tree_util.tree_map(
-                lambda x: np.asarray(x, store), params
-            ),
-            "config": dataclasses.asdict(cfg),
-        }
-        with open(args.export, "wb") as f:
-            pickle.dump(blob, f)
-        print("exported", args.export)
+        _export(params, cfg, args)
     print(json.dumps({"final_loss": float(loss), "steps": args.steps}))
 
 
