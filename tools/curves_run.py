@@ -425,6 +425,22 @@ def run_assets(workdir: str, res_dir: str):
             summary_json=json.dumps(summary, indent=2),
             steps_k=round(summary["steps"] / 1000),
         ))
+        # vocoder provenance (written by tools/waveglow_eval.py, kept
+        # alongside the curve assets): document the files if present so a
+        # regenerated README never orphans them
+        if os.path.exists(os.path.join(res_dir, "waveglow_eval.json")):
+            f.write(
+                "\n## WaveGlow vocoder provenance\n\n"
+                "- `waveglow_nll.png` / `waveglow_eval.json` — held-out "
+                "NLL at every checkpoint of the in-framework WaveGlow "
+                "training run (`tools/train_waveglow.py`, config in the "
+                "JSON) plus a bias-controlled copy-synthesis comparison "
+                "(WaveGlow sigma=0.666 / sigma=0 deterministic inverse / "
+                "Griffin-Lim, each scored by |dlog-mel| AND multi-scale "
+                "STFT distance — produced by `tools/waveglow_eval.py`). "
+                "The serving export is the best-held-out-NLL checkpoint, "
+                "not the last one (see TRAINING_SMOKE.md).\n"
+            )
 
     # archive the logistic-collapse evidence CSVs (KL forensics section)
     ev_src = os.path.join(workdir, "evidence")
@@ -573,7 +589,11 @@ def _eval_vocoder(synth, wav_path: str) -> str:
         f"target magnitudes, while WaveGlow samples audio with "
         f"sigma=0.666 noise); it is reported to show the trained flow "
         f"reconstructs the conditioning mel, not as a listening-quality "
-        f"ranking."
+        f"ranking.  The bias-controlled comparison — sigma=0 "
+        f"deterministic-inverse control, multi-scale STFT distance, and "
+        f"the per-checkpoint held-out NLL curve — is in "
+        f"`res/waveglow_eval.json` / `res/waveglow_nll.png` "
+        f"(tools/waveglow_eval.py)."
     )
 
 
