@@ -151,3 +151,61 @@ def test_waveglow_mesh_training_parity(params, mesh_shape):
     for a, b in zip(flat1, flatm):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-6, rtol=2e-5)
+
+
+def test_train_cli_export_only_roundtrip(tmp_path):
+    """tools/train_waveglow.py: a short train run, then the export-only
+    invocation (--resume <ckpt> --steps 0 --export) must write a serving
+    pickle whose params match the checkpoint — the path that turns the
+    BEST held-out-NLL checkpoint (not the last one) into the served
+    artifact (TRAINING_SMOKE.md round-5 provenance section)."""
+    import os
+    import pickle
+    import subprocess
+    import sys
+
+    from tacotron2_vae_tpu.dsp.audio import save_wav
+
+    rng = np.random.RandomState(0)
+    flist = tmp_path / "train.txt"
+    lines = []
+    for i in range(2):
+        p = tmp_path / f"w{i}.wav"
+        save_wav(str(p), (0.1 * rng.randn(4000)).astype(np.float32), 16000)
+        lines.append(f"{p}|x|0|0")
+    flist.write_text("\n".join(lines) + "\n")
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tiny = ["--n_flows", "2", "--n_channels", "8", "--n_layers", "1",
+            "--segment", "2048", "--batch", "1",
+            "--filelist", str(flist)]
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "train_waveglow.py"),
+         "--output_dir", str(tmp_path / "wg"), "--steps", "2",
+         "--checkpoint_every", "2",
+         "--export", str(tmp_path / "last.pkl"), *tiny],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    ckpt = str(tmp_path / "wg" / "waveglow_2")
+    assert os.path.isdir(ckpt)
+
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "train_waveglow.py"),
+         "--output_dir", str(tmp_path / "wg2"), "--steps", "0",
+         "--resume", ckpt,
+         "--export", str(tmp_path / "only.pkl"), *tiny],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r2.returncode == 0, r2.stdout + r2.stderr
+    assert "exported only" in r2.stdout
+
+    with open(tmp_path / "last.pkl", "rb") as f:
+        a = pickle.load(f)
+    with open(tmp_path / "only.pkl", "rb") as f:
+        b = pickle.load(f)
+    assert a["config"] == b["config"]
+    fa = jax.tree_util.tree_leaves(a["waveglow"])
+    fb = jax.tree_util.tree_leaves(b["waveglow"])
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

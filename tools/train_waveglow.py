@@ -44,6 +44,14 @@ try:
 except Exception:
     pass
 
+# Honor JAX_PLATFORMS=cpu (this image's site config pins the TPU plugin
+# and ignores the env var) — lets tests/CI run the CLI off-chip.
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import optax
 import orbax.checkpoint as ocp
 

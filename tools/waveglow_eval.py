@@ -57,6 +57,14 @@ try:
 except Exception:
     pass
 
+# Honor JAX_PLATFORMS=cpu (the site config pins the TPU plugin and
+# ignores the env var) — lets the eval run off-chip while the chip trains.
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower():
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 from tacotron2_vae_tpu.data import native
 from tacotron2_vae_tpu.data.dataset import load_filepaths_and_text
 from tacotron2_vae_tpu.dsp import griffin_lim
