@@ -46,14 +46,165 @@ def main():
 
     t_start = time.perf_counter()
 
+    # --- Watchdog state.  The remote-TPU tunnel occasionally leaves a
+    # single RPC hung forever (observed: a compile/fetch call parks at 0%
+    # CPU with no traffic).  Stdout must still end with ONE JSON line, so:
+    #  * every section writes its results into locals that `snapshot()`
+    #    reads live (all pre-initialized to None below);
+    #  * a daemon thread emits the completed rows and exits if no progress
+    #    heartbeat lands for BENCH_STALL_S or the BENCH_DEADLINE_S cap hits;
+    #  * if the stall happens before ANY row exists (nothing to lose), it
+    #    re-execs the process once — a fresh process gets a fresh tunnel
+    #    connection, which in practice clears the hang.
+    import threading
+
+    state = {"hb": time.perf_counter(), "emitted": False}
+    emit_lock = threading.Lock()
+
+    def hb():
+        state["hb"] = time.perf_counter()
+
     def mark(phase):
         # stderr progress markers (stdout stays the single JSON line):
         # lets an external timeout be attributed to a phase.
+        hb()
         print(f"[bench +{time.perf_counter() - t_start:.0f}s] {phase}",
               file=sys.stderr, flush=True)
 
-    # Flagship config, reference-recommended batch size (README.md:53).
+    # Pre-bind every name snapshot() reads so the watchdog can emit a
+    # partial row set from any point of the run.
     B, S, T = 6, 128, 512
+    frames_per_sec = dt = None
+    frames_per_sec_b64 = dt64 = None
+    flops_per_step = mfu_b64 = None
+    matmul_tflops = hbm_gbps = None
+    mfu_envelope = scan_roofline_ms = scan_stream_gb = None
+    frames_per_sec_b64_r2 = mfu_b64_r2 = flops_per_step_r2 = None
+    frames_per_sec_b64_r3 = mfu_b64_r3 = flops_per_step_r3 = None
+    frames_per_sec_b64_xla_scan = None
+    input_cold_fps = input_warm_fps = None
+    rtf = rtf_xla = None
+    rtf_r2 = rtf_r2_xla = None
+    rtf_b4 = None
+    wg_infer_rtf = end_to_end_rtf = None
+    wg_samples_per_sec = None
+    serving_pipeline_rtf = None
+    serving_pipeline_audio_secs = None
+    serving_pipeline_mode = None
+    serving_pipeline_queue_rtf = None
+
+    def snapshot():
+        try:
+            device_str = str(jax.devices()[0])
+        except Exception:
+            device_str = None
+        return {
+            "metric": "mel_frames_per_sec_per_chip",
+            "value": round(frames_per_sec, 1) if frames_per_sec else None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "train_step_ms": round(dt * 1e3, 2) if dt else None,
+            "batch": B,
+            "mel_frames": T,
+            "frames_per_sec_batch64": (
+                round(frames_per_sec_b64, 1) if frames_per_sec_b64 else None),
+            "train_step_ms_batch64": round(dt64 * 1e3, 2) if dt64 else None,
+            "flops_per_step_batch64": flops_per_step,
+            "mfu_batch64": round(mfu_b64, 4) if mfu_b64 else None,
+            "mfu_envelope_batch64": (
+                round(mfu_envelope, 4) if mfu_envelope else None),
+            "matmul_tflops_measured": (
+                round(matmul_tflops, 1) if matmul_tflops else None),
+            "hbm_gbps_measured": (
+                round(hbm_gbps, 1) if hbm_gbps else None),
+            "scan_stream_gb_batch64": (
+                round(scan_stream_gb, 2) if scan_stream_gb else None),
+            "scan_roofline_ms_batch64": (
+                round(scan_roofline_ms, 1) if scan_roofline_ms else None),
+            "frames_per_sec_batch64_r2": (
+                round(frames_per_sec_b64_r2, 1)
+                if frames_per_sec_b64_r2 else None),
+            "flops_per_step_batch64_r2": flops_per_step_r2,
+            "mfu_batch64_r2": (
+                round(mfu_b64_r2, 4) if mfu_b64_r2 else None),
+            "frames_per_sec_batch64_r3": (
+                round(frames_per_sec_b64_r3, 1)
+                if frames_per_sec_b64_r3 else None),
+            "flops_per_step_batch64_r3": flops_per_step_r3,
+            "mfu_batch64_r3": (
+                round(mfu_b64_r3, 4) if mfu_b64_r3 else None),
+            "frames_per_sec_batch64_xla_scan": (
+                round(frames_per_sec_b64_xla_scan, 1)
+                if frames_per_sec_b64_xla_scan else None),
+            "input_pipeline_fps_cold": (
+                round(input_cold_fps, 1) if input_cold_fps else None),
+            "input_pipeline_fps_warm": (
+                round(input_warm_fps, 1) if input_warm_fps else None),
+            "inference_rtf_600_frames": round(rtf, 4) if rtf else None,
+            "inference_rtf_xla_while_loop": (
+                round(rtf_xla, 4) if rtf_xla else None),
+            "inference_rtf_r2": round(rtf_r2, 4) if rtf_r2 else None,
+            "inference_rtf_r2_xla": (
+                round(rtf_r2_xla, 4) if rtf_r2_xla else None),
+            "inference_rtf_b4_batched_per_stream": (
+                round(rtf_b4, 4) if rtf_b4 else None),
+            "waveglow_infer_rtf": (
+                round(wg_infer_rtf, 4) if wg_infer_rtf else None),
+            "end_to_end_rtf": (
+                round(end_to_end_rtf, 4) if end_to_end_rtf else None),
+            "waveglow_train_samples_per_sec": (
+                round(wg_samples_per_sec, 1)
+                if wg_samples_per_sec else None),
+            "serving_pipeline_rtf": (
+                round(serving_pipeline_rtf, 4)
+                if serving_pipeline_rtf else None),
+            "serving_pipeline_audio_secs": (
+                round(serving_pipeline_audio_secs, 2)
+                if serving_pipeline_audio_secs else None),
+            "serving_pipeline_mode": serving_pipeline_mode,
+            "serving_pipeline_queue_rtf": (
+                round(serving_pipeline_queue_rtf, 4)
+                if serving_pipeline_queue_rtf else None),
+            "device": device_str,
+        }
+
+    def emit():
+        with emit_lock:
+            if state["emitted"]:
+                return
+            state["emitted"] = True
+        print(json.dumps(snapshot()), flush=True)
+
+    stall_s = float(os.environ.get("BENCH_STALL_S", "420"))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1800"))
+
+    def watchdog():
+        while not state["emitted"]:
+            time.sleep(10)
+            now = time.perf_counter()
+            stalled = now - state["hb"] > stall_s
+            over = now - t_start > deadline_s
+            if not (stalled or over):
+                continue
+            if (stalled and frames_per_sec is None
+                    and now - t_start < 480
+                    and os.environ.get("BENCH_ATTEMPT") != "1"):
+                print("[bench watchdog] stalled before any row; re-exec "
+                      "for a fresh tunnel connection",
+                      file=sys.stderr, flush=True)
+                env = dict(os.environ, BENCH_ATTEMPT="1")
+                os.execve(sys.executable,
+                          [sys.executable, os.path.abspath(__file__)], env)
+            print(f"[bench watchdog] "
+                  f"{'stall' if stalled else 'deadline'} at "
+                  f"+{now - t_start:.0f}s: emitting completed rows",
+                  file=sys.stderr, flush=True)
+            emit()
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    # Flagship config, reference-recommended batch size (README.md:53).
     hp = create_hparams("batch_size=6")
     rng = np.random.RandomState(0)
     batch = {
@@ -73,6 +224,7 @@ def main():
 
     mark("b6_compile")
     ts = create_train_state(jax.random.PRNGKey(0), hp)
+    hb()
     # NOTE: no donate_argnums and no block_until_ready — both misbehave
     # through the axon remote-TPU tunnel (block_until_ready returns before
     # execution finishes).  A 4-byte scalar fetch is the only reliable sync.
@@ -81,9 +233,11 @@ def main():
     # Warmup / compile (fetch forces completion).
     ts, metrics = step(ts, batch, jax.random.PRNGKey(0))
     float(metrics["loss"])
+    hb()
     for i in range(3):
         ts, metrics = step(ts, batch, jax.random.PRNGKey(i))
     float(metrics["loss"])
+    hb()
 
     n_iters = 20
     t0 = time.perf_counter()
@@ -114,9 +268,12 @@ def main():
     # through the remote-compile tunnel and used to eat the soft budget).
     mark("b64_compile")
     ts64 = create_train_state(jax.random.PRNGKey(0), hp)
+    hb()
     compiled64 = step.lower(ts64, batch64, jax.random.PRNGKey(0)).compile()
+    hb()
     ts64, m64 = compiled64(ts64, batch64, jax.random.PRNGKey(0))
     float(m64["loss"])
+    hb()
     t0 = time.perf_counter()
     for i in range(8):
         ts64, m64 = compiled64(ts64, batch64, jax.random.PRNGKey(0))
@@ -425,6 +582,7 @@ def main():
         synth_j = jax.jit(synth)
         out = synth_j(params, state, text, style, jax.random.PRNGKey(0))
         float(out[4][0])  # sync on the lengths output
+        hb()
         t0 = time.perf_counter()
         reps = 3
         for i in range(reps):
@@ -545,6 +703,7 @@ def main():
                             key=jax.random.PRNGKey(0),
                             dtype_name="bfloat16")
             float(wav[0, 0])
+            hb()
             t0 = time.perf_counter()
             for i in range(3):
                 wav = wgm.infer(wg_p, mel600, wg_cfg, sigma=0.666,
@@ -583,6 +742,7 @@ def main():
                 (rng.randn(BW, 80, frames) * 0.3).astype(np.float32))
             wg_os, wg_params, wl = wg_step(wg_os, wg_params, wg_audio, wg_mel)
             float(wl)
+            hb()
             t0 = time.perf_counter()
             for _ in range(5):
                 wg_os, wg_params, wl = wg_step(wg_os, wg_params, wg_audio,
@@ -652,6 +812,7 @@ def main():
             tempfile.mkdtemp(prefix="bench_pipe_"), "out.wav")
         ratios = [1.0, 0.0, 0.0, 0.0]
         syn.synthesize(text, out_wav, False, None, ratios)  # compile
+        hb()
         reps, walls = 3, []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -674,6 +835,7 @@ def main():
             lambda reqs: syn.synthesize_batch(reqs), max_batch=4)
         req = (text, out_wav, False, None, ratios)
         mb.submit(req)  # compile the B=1 batched path
+        hb()
         walls_q = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -688,77 +850,7 @@ def main():
         traceback.print_exc()
 
     mark("emit")
-    print(
-        json.dumps(
-            {
-                "metric": "mel_frames_per_sec_per_chip",
-                "value": round(frames_per_sec, 1),
-                "unit": "frames/s",
-                "vs_baseline": None,
-                "train_step_ms": round(dt * 1e3, 2),
-                "batch": B,
-                "mel_frames": T,
-                "frames_per_sec_batch64": round(frames_per_sec_b64, 1),
-                "train_step_ms_batch64": round(dt64 * 1e3, 2),
-                "flops_per_step_batch64": flops_per_step,
-                "mfu_batch64": round(mfu_b64, 4) if mfu_b64 else None,
-                "mfu_envelope_batch64": (
-                    round(mfu_envelope, 4) if mfu_envelope else None),
-                "matmul_tflops_measured": (
-                    round(matmul_tflops, 1) if matmul_tflops else None),
-                "hbm_gbps_measured": (
-                    round(hbm_gbps, 1) if hbm_gbps else None),
-                "scan_stream_gb_batch64": (
-                    round(scan_stream_gb, 2) if scan_stream_gb else None),
-                "scan_roofline_ms_batch64": (
-                    round(scan_roofline_ms, 1) if scan_roofline_ms else None),
-                "frames_per_sec_batch64_r2": (
-                    round(frames_per_sec_b64_r2, 1)
-                    if frames_per_sec_b64_r2 else None),
-                "flops_per_step_batch64_r2": flops_per_step_r2,
-                "mfu_batch64_r2": (
-                    round(mfu_b64_r2, 4) if mfu_b64_r2 else None),
-                "frames_per_sec_batch64_r3": (
-                    round(frames_per_sec_b64_r3, 1)
-                    if frames_per_sec_b64_r3 else None),
-                "flops_per_step_batch64_r3": flops_per_step_r3,
-                "mfu_batch64_r3": (
-                    round(mfu_b64_r3, 4) if mfu_b64_r3 else None),
-                "frames_per_sec_batch64_xla_scan": (
-                    round(frames_per_sec_b64_xla_scan, 1)
-                    if frames_per_sec_b64_xla_scan else None),
-                "input_pipeline_fps_cold": (
-                    round(input_cold_fps, 1) if input_cold_fps else None),
-                "input_pipeline_fps_warm": (
-                    round(input_warm_fps, 1) if input_warm_fps else None),
-                "inference_rtf_600_frames": round(rtf, 4),
-                "inference_rtf_xla_while_loop": round(rtf_xla, 4),
-                "inference_rtf_r2": round(rtf_r2, 4) if rtf_r2 else None,
-                "inference_rtf_r2_xla": (
-                    round(rtf_r2_xla, 4) if rtf_r2_xla else None),
-                "inference_rtf_b4_batched_per_stream": (
-                    round(rtf_b4, 4) if rtf_b4 else None),
-                "waveglow_infer_rtf": (
-                    round(wg_infer_rtf, 4) if wg_infer_rtf else None),
-                "end_to_end_rtf": (
-                    round(end_to_end_rtf, 4) if end_to_end_rtf else None),
-                "waveglow_train_samples_per_sec": (
-                    round(wg_samples_per_sec, 1)
-                    if wg_samples_per_sec else None),
-                "serving_pipeline_rtf": (
-                    round(serving_pipeline_rtf, 4)
-                    if serving_pipeline_rtf else None),
-                "serving_pipeline_audio_secs": (
-                    round(serving_pipeline_audio_secs, 2)
-                    if serving_pipeline_audio_secs else None),
-                "serving_pipeline_mode": serving_pipeline_mode,
-                "serving_pipeline_queue_rtf": (
-                    round(serving_pipeline_queue_rtf, 4)
-                    if serving_pipeline_queue_rtf else None),
-                "device": str(jax.devices()[0]),
-            }
-        )
-    )
+    emit()
 
 
 if __name__ == "__main__":
